@@ -1,0 +1,524 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md).
+
+Reinterprets the reference's conformance corpus
+(``/root/reference/spec/fixtures/`` — 17 files: multilingual texts, the same
+document in four formats, images, unknown/empty/tiny payloads) as two Parquet
+tables in the BASELINE.json ``input_hint`` shape:
+
+- ``web_pages(url, warc_ts, html, text, lang)`` — the pipeline input; the
+  ``html`` column carries raw document bytes whose format is *sniffed*,
+  never trusted (like rika's TikaInputStream input,
+  ``/root/reference/lib/rika/parser.rb:83-100``).
+- ``expected_extractions`` — analytically computed goldens (byte-exact
+  ``content`` per url, content types, charsets, languages, key-sorted
+  metadata pairs, expected error taxonomy values). The extractor must
+  recover these independently; tests join on ``url`` and compare.
+
+Everything is derived from ``seed`` (default 42) — no external data, no
+wall-clock. Scale with ``n_per_family`` (t1 smoke ~10^2 rows; bench ~10^5).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rika_ray import docgen
+from rika_ray.schema import WEB_PAGES_SCHEMA
+
+# ---------------------------------------------------------------------------
+# Fixture texts (authored for this engine — same *roles* as the reference's
+# translated-poem fixtures spec/fixtures/{en,de,fr,es,ru}.txt, different
+# words). Each is one language's golden plain-text document.
+# ---------------------------------------------------------------------------
+
+FIXTURE_TEXT = {
+    "en": (
+        "The river runs quietly past the old stone bridge in the early "
+        "morning light. Every traveler who stops here remembers the sound "
+        "of the water and the smell of the pines. There is a small house "
+        "on the far bank where the keeper of the bridge once lived, and "
+        "the path to its door is still worn smooth by many years of "
+        "patient footsteps.\n"
+    ),
+    "de": (
+        "Der Fluss fließt ruhig an der alten Steinbrücke vorbei im frühen "
+        "Morgenlicht. Jeder Reisende, der hier anhält, erinnert sich an "
+        "das Rauschen des Wassers und den Duft der Kiefern. Auf dem "
+        "anderen Ufer steht ein kleines Haus, in dem einst der Wärter der "
+        "Brücke wohnte, und der Weg zu seiner Tür ist noch immer glatt "
+        "getreten von vielen Jahren geduldiger Schritte.\n"
+    ),
+    "fr": (
+        "La rivière coule doucement devant le vieux pont de pierre dans la "
+        "lumière du petit matin. Chaque voyageur qui s'arrête ici se "
+        "souvient du bruit de l'eau et du parfum des pins. Il y a une "
+        "petite maison sur l'autre rive où vivait autrefois le gardien du "
+        "pont, et le chemin vers sa porte est encore usé par de longues "
+        "années de pas patients.\n"
+    ),
+    "es": (
+        "El río corre tranquilo junto al viejo puente de piedra con la "
+        "primera luz de la mañana. Cada viajero que se detiene aquí "
+        "recuerda el sonido del agua y el aroma de los pinos. Hay una "
+        "casa pequeña en la otra orilla donde vivía antes el guardián del "
+        "puente, y el camino hasta su puerta sigue gastado por muchos "
+        "años de pasos pacientes.\n"
+    ),
+    "ru": (
+        "Река тихо течёт мимо старого каменного моста в раннем утреннем "
+        "свете. Каждый путник, который останавливается здесь, помнит шум "
+        "воды и запах сосен. На другом берегу стоит маленький дом, где "
+        "когда-то жил смотритель моста, и тропа к его двери всё ещё "
+        "гладко протоптана многими годами терпеливых шагов.\n"
+    ),
+}
+
+# Word pools for scaled generation — function-word-heavy so language
+# detection stays reliable on generated paragraphs.
+WORD_POOL = {
+    "en": (
+        "the and of to in that it was for with as his on be at by this had "
+        "not are but from or have an they which one you were her all she "
+        "there would their we him been has when who will more no if out so "
+        "said what up its about into than them can only other new some "
+        "could time these two may then do first any my now such like our "
+        "over man me even most made after also did many before must "
+        "through years where much your way well down should because each "
+        "just those people how too little state good very make world still "
+        "own see men work long get here between both life being under"
+    ).split(),
+    "de": (
+        "der die und in den von zu das mit sich des auf für ist im dem "
+        "nicht ein eine als auch es an werden aus er hat dass sie nach "
+        "wird bei einer um am sind noch wie einem über einen so zum war "
+        "haben nur oder aber vor zur bis mehr durch man sein wurde sei "
+        "ihre dann unter wir soll ich eines jahr zwei diese dieser wieder "
+        "keine uns zwischen immer millionen was sagte gegen vom können "
+        "schon wenn habe seine ihren gibt alle kann muss seit drei"
+    ).split(),
+    "fr": (
+        "de la le et les des en un du une que est pour qui dans a par "
+        "plus pas au sur ne se ce il sont la avec son ses mais comme ou "
+        "si leur y ont ces aux été sa dont aussi cette fait peut "
+        "sans autre on tout deux même nous fois bien où après sans être "
+        "elle entre ans contre tous ceux donc depuis leurs ici chaque "
+        "encore notre vers toute faire moins très était soit avait"
+    ).split(),
+    "es": (
+        "de la que el en y a los del se las por un para con no una su al "
+        "lo como más pero sus le ya o este sí porque esta entre cuando "
+        "muy sin sobre también me hasta hay donde quien desde todo nos "
+        "durante todos uno les ni contra otros ese eso ante ellos e esto "
+        "mí antes algunos qué unos yo otro otras otra él tanto esa estos "
+        "mucho quienes nada muchos cual poco ella estar estas algunas"
+    ).split(),
+    "ru": (
+        "и в не на я что с он как это по но они мы она к у из за то все "
+        "так его же от бы был для о мне вот только ещё меня было нет "
+        "теперь когда даже ну ли если уже или быть них кто чем при нас "
+        "один раз себе под жизнь будет очень того есть может этом чтобы "
+        "них она там потом себя ничего может где надо ней них здесь этот "
+        "другой чего сказал время лет более всех люди день"
+    ).split(),
+}
+
+ARTICLE_TOPICS = [
+    "Mountain Weather Patterns",
+    "A History of Canal Boats",
+    "Urban Gardening Basics",
+    "The Physics of Kites",
+    "Notes on Cartography",
+    "Bread Ovens of the World",
+    "Lighthouse Keeping",
+    "Railway Signal Design",
+    "The Art of Knots",
+    "Windmills and Their Uses",
+]
+
+NAV_LINKS = [
+    "Home", "World News", "Local News", "Sports", "Business", "Technology",
+    "Science", "Opinion", "Weather", "Archive", "Subscribe", "Sign In",
+]
+
+BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
+    words = [rng.choice(pool) for _ in range(n_words)]
+    return words[0].capitalize() + " " + " ".join(words[1:]) + "."
+
+
+def _paragraph(rng: random.Random, pool: list[str], n_sent: int) -> str:
+    return " ".join(
+        _sentence(rng, pool, rng.randint(8, 16)) for _ in range(n_sent)
+    )
+
+
+class _Builder:
+    """Accumulates aligned web_pages + expected_extractions rows."""
+
+    def __init__(self) -> None:
+        self.pages: list[dict] = []
+        self.expected: list[dict] = []
+        self._i = 0
+
+    def add(
+        self,
+        family: str,
+        payload: bytes,
+        *,
+        content: str | None,
+        content_type: str | None,
+        media_type: str | None,
+        charset: str | None,
+        language: str | None,
+        extra_metadata: dict[str, str] | None = None,
+        error_type: str | None = None,
+        prior_text: str | None = None,
+        claimed_lang: str | None = None,
+        url: str | None = None,
+    ) -> str:
+        url = url or f"https://fixtures.test/{family}/{self._i:06d}"
+        ts = BASE_TS + timedelta(seconds=self._i)
+        self.pages.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": payload,
+                "text": prior_text,
+                "lang": claimed_lang,
+            }
+        )
+        if error_type is not None:
+            meta_pairs = None
+        else:
+            md = dict(extra_metadata or {})
+            md["Content-Type"] = content_type or ""
+            # engine-injected keys, mirroring rika:language / rika:data-source
+            # (/root/reference/lib/rika/parser.rb:31-32)
+            md["rika:language"] = language or ""
+            md["rika:data-source"] = url
+            # case-insensitive key sort (lib/rika/parser.rb:34)
+            meta_pairs = [
+                {"key": k, "value": md[k]}
+                for k in sorted(md, key=lambda s: (s.lower(), s))
+            ]
+        self.expected.append(
+            {
+                "url": url,
+                "content": content,
+                "content_type": content_type,
+                "media_type": media_type,
+                "charset": charset,
+                "language": language,
+                "metadata": meta_pairs,
+                "error_type": error_type,
+            }
+        )
+        self._i += 1
+        return url
+
+
+def generate_corpus(
+    n_per_family: int = 3, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """Build (web_pages, expected_extractions) Arrow tables.
+
+    ``n_per_family`` scales the generated families (FIXTURES.md §1 table);
+    fixed fixture rows (the authored texts, tiny/undetermined/unknown/empty
+    payloads) always appear exactly once per variant.
+    """
+    rng = random.Random(seed)
+    b = _Builder()
+
+    # --- plain_utf8_{en,de,fr,es,ru}: authored fixture + generated variants
+    for lang, text in FIXTURE_TEXT.items():
+        b.add(
+            f"plain-{lang}",
+            text.encode("utf-8"),
+            content=text,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language=lang,
+            extra_metadata={"Content-Encoding": "UTF-8"},
+            prior_text=text,
+            claimed_lang=lang,
+        )
+        for _ in range(max(0, n_per_family - 1)):
+            gen = _paragraph(rng, WORD_POOL[lang], rng.randint(4, 8)) + "\n"
+            b.add(
+                f"plain-{lang}",
+                gen.encode("utf-8"),
+                content=gen,
+                content_type="text/plain; charset=UTF-8",
+                media_type="text/plain",
+                charset="UTF-8",
+                language=lang,
+                extra_metadata={"Content-Encoding": "UTF-8"},
+                prior_text=gen,
+                claimed_lang=lang,
+            )
+
+    # --- plain_latin1: French text encoded ISO-8859-1
+    for _ in range(max(2, n_per_family)):
+        gen = _paragraph(rng, WORD_POOL["fr"], rng.randint(3, 6)) + " café résumé naïveté.\n"
+        b.add(
+            "plain-latin1",
+            gen.encode("iso-8859-1"),
+            content=gen,
+            content_type="text/plain; charset=ISO-8859-1",
+            media_type="text/plain",
+            charset="ISO-8859-1",
+            language="fr",
+            extra_metadata={"Content-Encoding": "ISO-8859-1"},
+            claimed_lang="fr",
+        )
+
+    # --- html_boilerplate: nav/sidebar/footer around planted article
+    for _ in range(max(10, n_per_family * 3)):
+        title = rng.choice(ARTICLE_TOPICS)
+        n_paras = rng.randint(3, 6)
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5))
+            for _ in range(n_paras)
+        ]
+        links = rng.sample(NAV_LINKS, 8)
+        payload = docgen.build_html_page(title, paras, links)
+        b.add(
+            "html",
+            payload,
+            content=docgen.expected_html_content(paras),
+            content_type="text/html; charset=UTF-8",
+            media_type="text/html",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8", "dc:title": title},
+            claimed_lang="en",
+        )
+
+    # --- html_no_main: link farm, no dominant text block
+    for _ in range(max(2, n_per_family)):
+        links = [rng.choice(ARTICLE_TOPICS) + f" {rng.randint(1, 99)}" for _ in range(20)]
+        payload = docgen.build_link_farm_page("Site Index", links)
+        b.add(
+            "html-nomain",
+            payload,
+            content="",
+            content_type="text/html; charset=UTF-8",
+            media_type="text/html",
+            charset="UTF-8",
+            language=None,
+            extra_metadata={"Content-Encoding": "UTF-8", "dc:title": "Site Index"},
+        )
+
+    # --- pdf_simple: generated PDFs (uncompressed + Flate), docinfo
+    for k in range(max(3, n_per_family)):
+        n_pages = rng.randint(1, 3)
+        pages = [
+            [
+                _sentence(rng, WORD_POOL["en"], rng.randint(5, 9))
+                for _ in range(rng.randint(3, 6))
+            ]
+            for _ in range(n_pages)
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        author = "Robert Frost"
+        payload = docgen.build_pdf(
+            pages, title=title, author=author, compress=(k % 2 == 1)
+        )
+        b.add(
+            "pdf",
+            payload,
+            content=docgen.expected_pdf_content(pages),
+            content_type="application/pdf",
+            media_type="application/pdf",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:creator": author,
+                "dc:title": title,
+                "pdf:producer": "rika-ray synthetic",
+                "xmpTPg:NPages": str(n_pages),
+            },
+            claimed_lang="en",
+        )
+
+    # --- docx: generated OOXML word documents
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 4))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_docx(paras, title=title, creator="Robert Frost")
+        b.add(
+            "docx",
+            payload,
+            content=docgen.expected_docx_content(paras),
+            content_type=(
+                "application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document"
+            ),
+            media_type=(
+                "application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document"
+            ),
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:creator": "Robert Frost",
+                "dc:title": title,
+                "meta:page-count": "1",
+            },
+            claimed_lang="en",
+        )
+
+    # --- images: jpeg (incl. "extension-less" URL), png, gif
+    jpeg = docgen.build_jpeg(72, 72)
+    for url_suffix in ("image.jpg", "image_without_extension"):
+        b.add(
+            "jpeg",
+            jpeg,
+            content="",
+            content_type="image/jpeg",
+            media_type="image/jpeg",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": "72 pixels",
+                "Image Width": "72 pixels",
+            },
+            url=f"https://fixtures.test/jpeg/{url_suffix}",
+        )
+    b.add(
+        "png",
+        docgen.build_png(64, 48),
+        content="",
+        content_type="image/png",
+        media_type="image/png",
+        charset=None,
+        language=None,
+        extra_metadata={"Image Height": "48 pixels", "Image Width": "64 pixels"},
+    )
+    b.add(
+        "gif",
+        docgen.build_gif(32, 16),
+        content="",
+        content_type="image/gif",
+        media_type="image/gif",
+        charset=None,
+        language=None,
+        extra_metadata={"Image Height": "16 pixels", "Image Width": "32 pixels"},
+    )
+
+    # --- unknown binary → application/octet-stream, empty content
+    # (same role as spec/fixtures/unknown.bin, bytes 00 00 30 39)
+    for payload in (b"\x00\x00\x30\x39", b"\x00\x01\x02\x03\x04\x05"):
+        b.add(
+            "unknown",
+            payload,
+            content="",
+            content_type="application/octet-stream",
+            media_type="application/octet-stream",
+            charset=None,
+            language=None,
+        )
+
+    # --- empty docs → error rows, run continues
+    for _ in range(2):
+        b.add(
+            "empty",
+            b"",
+            content=None,
+            content_type=None,
+            media_type=None,
+            charset=None,
+            language=None,
+            error_type="empty_file",
+        )
+
+    # --- tiny / language-undetermined
+    for payload_text in ("hello", "hej"):
+        b.add(
+            "tiny",
+            payload_text.encode("utf-8"),
+            content=payload_text,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language=None,  # too short to determine
+            extra_metadata={"Content-Encoding": "UTF-8"},
+        )
+
+    # --- mega docs (multi-MB text; skew routing + truncation targets)
+    for k in range(2):
+        seed_para = _paragraph(rng, WORD_POOL["en"], 10) + "\n"
+        reps = 4000 + 1000 * k  # ~1.5-2 MB
+        mega = seed_para * reps
+        b.add(
+            "mega",
+            mega.encode("utf-8"),
+            content=mega,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8"},
+            claimed_lang="en",
+        )
+
+    # --- duplicate url (duplicate targets are NOT deduped by default —
+    # reference footgun documented at /root/reference/EXAMPLES.md:187-197)
+    dup_text = FIXTURE_TEXT["en"]
+    for _ in range(2):
+        b.add(
+            "dup",
+            dup_text.encode("utf-8"),
+            content=dup_text,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8"},
+            url="https://fixtures.test/dup/000000",
+        )
+
+    # --- corrupt PDFs → parse_error rows, no abort (§2.8 error-as-data)
+    for k in range(2):
+        payload = b"%PDF-1.4\n" + bytes(rng.getrandbits(8) for _ in range(200 + k))
+        b.add(
+            "corrupt-pdf",
+            payload,
+            content=None,
+            content_type=None,
+            media_type="application/pdf",
+            charset=None,
+            language=None,
+            error_type="parse_error",
+        )
+
+    web_pages = pa.Table.from_pylist(b.pages, schema=WEB_PAGES_SCHEMA)
+    expected = pa.Table.from_pylist(b.expected)
+    return web_pages, expected
+
+
+def write_corpus(
+    out_dir: str, n_per_family: int = 3, seed: int = 42
+) -> dict[str, str]:
+    """Write web_pages.parquet + expected_extractions.parquet to out_dir."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    web_pages, expected = generate_corpus(n_per_family=n_per_family, seed=seed)
+    paths = {
+        "web_pages": os.path.join(out_dir, "web_pages.parquet"),
+        "expected": os.path.join(out_dir, "expected_extractions.parquet"),
+    }
+    pq.write_table(web_pages, paths["web_pages"])
+    pq.write_table(expected, paths["expected"])
+    return paths

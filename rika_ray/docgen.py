@@ -1,0 +1,283 @@
+"""Deterministic byte-level document builders for the synthetic corpus.
+
+These produce the raw ``html: binary`` payloads of the ``web_pages`` table
+(FIXTURES.md §1): minimal-but-valid PDF, JPEG/PNG/GIF, DOCX and HTML
+documents whose *expected* extraction output can be computed analytically by
+the generator (FIXTURES.md §2) — the extractor kernels must then recover it
+independently, which is what the golden tests check.
+
+No external data, no third-party builders — everything is assembled from
+format specs (PDF 1.4 / JFIF / PNG / GIF89a / OOXML) in stdlib Python.
+"""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+import zlib
+from io import BytesIO
+
+# ---------------------------------------------------------------------------
+# PDF (minimal writer: pages of text lines, optional Flate, docinfo)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(
+    pages: list[list[str]],
+    title: str = "",
+    author: str = "",
+    producer: str = "rika-ray synthetic",
+    compress: bool = False,
+) -> bytes:
+    """A minimal PDF 1.4 file: one content stream per page, each line shown
+    with a Tj operator at a descending y position. ASCII text only.
+    """
+    objects: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # object numbering: 1=Catalog, 2=Pages, 3..=Page objs, then content
+    # streams, then font, then info
+    page_obj_nums = [3 + i for i in range(n_pages)]
+    content_obj_nums = [3 + n_pages + i for i in range(n_pages)]
+    font_obj = 3 + 2 * n_pages
+    info_obj = font_obj + 1
+
+    kids = " ".join(f"{n} 0 R" for n in page_obj_nums)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, (pnum, cnum) in enumerate(zip(page_obj_nums, content_obj_nums)):
+        objects[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_obj} 0 R >> >> >>"
+        ).encode()
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(pages[i]):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_pdf_escape(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("ascii")
+        if compress:
+            stream = zlib.compress(stream)
+            head = f"<< /Length {len(stream)} /Filter /FlateDecode >>".encode()
+        else:
+            head = f"<< /Length {len(stream)} >>".encode()
+        objects[cnum] = head + b"\nstream\n" + stream + b"\nendstream"
+    objects[font_obj] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    info_parts = []
+    if title:
+        info_parts.append(f"/Title ({_pdf_escape(title)})")
+    if author:
+        info_parts.append(f"/Author ({_pdf_escape(author)})")
+    info_parts.append(f"/Producer ({_pdf_escape(producer)})")
+    objects[info_obj] = f"<< {' '.join(info_parts)} >>".encode()
+
+    out = BytesIO()
+    out.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = out.tell()
+        out.write(f"{num} 0 obj\n".encode())
+        out.write(objects[num])
+        out.write(b"\nendobj\n")
+    xref_pos = out.tell()
+    n_obj = max(objects) + 1
+    out.write(f"xref\n0 {n_obj}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for num in range(1, n_obj):
+        out.write(f"{offsets[num]:010d} 00000 n \n".encode())
+    out.write(
+        (
+            f"trailer\n<< /Size {n_obj} /Root 1 0 R /Info {info_obj} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n"
+        ).encode()
+    )
+    return out.getvalue()
+
+
+def expected_pdf_content(pages: list[list[str]]) -> str:
+    """The normative text-layout spec for our PDF extractor: leading newline
+    (mirroring the reference's PDF whitespace quirk,
+    /root/reference/spec/rika/parser_spec.rb:157-162), one line per text
+    span, every page's block newline-terminated.
+    """
+    parts = ["\n"]
+    for page in pages:
+        for line in page:
+            parts.append(line + "\n")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# JPEG / PNG / GIF (header-level: valid magic + dimension markers)
+# ---------------------------------------------------------------------------
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """Minimal JFIF: SOI, APP0, SOF0 carrying dimensions, EOI. Enough
+    structure for magic-byte detection and dimension metadata extraction.
+    """
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # SOF0: len=11 (1 comp), precision 8, height, width, 1 component
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def build_png(width: int, height: int) -> bytes:
+    ihdr_data = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">I", 13) + b"IHDR" + ihdr_data
+    ihdr += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    return b"\x89PNG\r\n\x1a\n" + ihdr + iend
+
+
+def build_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+# ---------------------------------------------------------------------------
+# DOCX (minimal OOXML package)
+# ---------------------------------------------------------------------------
+
+_DOCX_CONTENT_TYPES = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+<Override PartName="/docProps/core.xml" ContentType="application/vnd.openxmlformats-package.core-properties+xml"/>
+<Override PartName="/docProps/app.xml" ContentType="application/vnd.openxmlformats-officedocument.extended-properties+xml"/>
+</Types>"""
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def build_docx(
+    paragraphs: list[str], title: str = "", creator: str = "", page_count: int = 1
+) -> bytes:
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{_xml_escape(p)}</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    ).encode()
+    core = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>{_xml_escape(title)}</dc:title>"
+        f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+        "</cp:coreProperties>"
+    ).encode()
+    app = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Properties xmlns="http://schemas.openxmlformats.org/officeDocument/2006/extended-properties">'
+        f"<Pages>{page_count}</Pages><Application>rika-ray synthetic</Application>"
+        "</Properties>"
+    ).encode()
+    buf = BytesIO()
+    # deterministic zip: fixed timestamps, no compression variance
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in [
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("word/document.xml", document),
+            ("docProps/core.xml", core),
+            ("docProps/app.xml", app),
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def expected_docx_content(paragraphs: list[str]) -> str:
+    """Normative DOCX text layout: each paragraph newline-terminated."""
+    return "".join(p + "\n" for p in paragraphs)
+
+
+# ---------------------------------------------------------------------------
+# HTML page builder (boilerplate + planted main content)
+# ---------------------------------------------------------------------------
+
+
+def build_html_page(
+    title: str,
+    paragraphs: list[str],
+    nav_links: list[str],
+    footer_text: str = "Copyright 2026 Example Site. All rights reserved.",
+    sidebar_links: list[str] | None = None,
+    charset: str = "utf-8",
+) -> bytes:
+    """A generated web page: nav/header/sidebar/footer boilerplate (short,
+    link-dense blocks) around an article of planted paragraphs (long,
+    link-free blocks). The main-content extractor must recover exactly the
+    planted paragraphs (whitespace-normalized) — FIXTURES.md html_boilerplate.
+    """
+    sidebar_links = sidebar_links if sidebar_links is not None else nav_links
+    nav = "".join(f'<li><a href="/{_slug(t)}">{_xml_escape(t)}</a></li>' for t in nav_links)
+    side = "".join(
+        f'<li><a href="/{_slug(t)}">{_xml_escape(t)}</a> related link</li>'
+        for t in sidebar_links
+    )
+    article = "".join(f"<p>{_xml_escape(p)}</p>\n" for p in paragraphs)
+    page = f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="{charset}">
+<title>{_xml_escape(title)}</title>
+<script>var tracker = "not content"; trackPage();</script>
+<style>body {{ margin: 0; }} .nav {{ color: red; }}</style>
+</head>
+<body>
+<header><h1><a href="/">Example Site</a></h1></header>
+<nav class="nav"><ul>{nav}</ul></nav>
+<div class="layout">
+<aside class="sidebar"><h3>More stories</h3><ul>{side}</ul></aside>
+<article>
+{article}</article>
+</div>
+<footer><p><a href="/about">About</a> | <a href="/contact">Contact</a> | <a href="/terms">Terms</a></p>
+<p>{_xml_escape(footer_text)}</p></footer>
+</body>
+</html>"""
+    return page.encode(charset)
+
+
+def build_link_farm_page(title: str, links: list[str]) -> bytes:
+    """A page with no dominant text block (FIXTURES.md html_no_main)."""
+    items = "".join(f'<li><a href="/{_slug(t)}">{_xml_escape(t)}</a></li>' for t in links)
+    page = f"""<!DOCTYPE html>
+<html><head><title>{_xml_escape(title)}</title></head>
+<body><ul>{items}</ul>
+<p><a href="/next">next page</a> <a href="/prev">previous page</a></p>
+</body></html>"""
+    return page.encode("utf-8")
+
+
+def _slug(s: str) -> str:
+    return "".join(c if c.isalnum() else "-" for c in s.lower())[:40]
+
+
+def normalize_block_text(s: str) -> str:
+    """Whitespace normalization applied to every HTML text block: collapse
+    runs of whitespace to a single space and strip. This is the normative
+    spec shared by the generator (to compute goldens) and the extractor.
+    """
+    return " ".join(s.split())
+
+
+def expected_html_content(paragraphs: list[str]) -> str:
+    """Normative HTML main-content layout: kept blocks joined by newline."""
+    return "\n".join(normalize_block_text(p) for p in paragraphs)

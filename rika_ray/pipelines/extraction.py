@@ -1,0 +1,150 @@
+"""The flagship extraction pipeline (SURVEY.md §3.4 lifecycle).
+
+web_pages Dataset
+  → map_batches(detect_content_type)        [stateless tasks; M1 sniff]
+  → map_batches(ExtractStage, concurrency)  [actor pool; M2-M8 router]
+  → map_batches(LangDetectStage, concurrency) [actor pool; T1]
+  → map_batches(finalize)                   [stateless; M8-M11, M13]
+
+Scale design notes (§4):
+- The extraction path is shuffle-free (embarrassingly parallel); wide ops
+  (error tallies, dedup) happen downstream on the much smaller extracted
+  table.
+- ``batch_size`` is deliberately small for the extract stage: documents are
+  multi-KB..multi-MB, so a batch of 64-256 rows keeps batch × concurrency
+  within worker heaps; mega-documents can optionally be routed to a
+  dedicated pool with ``batch_size=1`` (``route_mega_docs``) so one 100 MB
+  page cannot stall a batch of small ones (BASELINE.json: "explicit
+  repartitioning to break skew from mega-documents").
+- The raw ``html`` payload is dropped inside ExtractStage, so everything
+  after the router moves only extracted text through the object store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+
+from rika_ray.stages.extract import ExtractStage
+from rika_ray.stages.finalize import make_finalizer
+from rika_ray.stages.lang import LangDetectStage
+from rika_ray.stages.sniff import detect_content_type
+
+
+@dataclass
+class ExtractionConfig:
+    max_content_length: int = -1  # chars; -1 unlimited, 0 suppress (M11)
+    key_sort: bool = True  # metadata key sort (M10)
+    batch_size: int = 128  # rows per extract batch (docs are heavy)
+    sniff_batch_size: int = 1024
+    extract_concurrency: int | tuple[int, int] | None = None  # actor pool size
+    lang_concurrency: int | tuple[int, int] | None = None
+    lang_batch_size: int = 512
+    route_mega_docs: bool = False  # two-branch skew routing
+    mega_doc_bytes: int = 4 * 1024 * 1024
+
+
+def read_web_pages(path: str, **kwargs) -> ray.data.Dataset:
+    """Source S1: the web_pages Parquet table. Column pruning happens at
+    the read when callers pass ``columns=``."""
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def build_extraction_pipeline(
+    ds: ray.data.Dataset, cfg: ExtractionConfig | None = None
+) -> ray.data.Dataset:
+    """Compose the full extraction pipeline over a web_pages Dataset.
+
+    Returns a lazy Dataset with the EXTRACTED_SCHEMA; consume with
+    write_parquet / iter_batches / aggregates — never materialized here.
+    """
+    cfg = cfg or ExtractionConfig()
+
+    # Actor pools need an explicit size; default to the cluster CPU count so
+    # the heavyweight extract pool can saturate the node while the cheaper
+    # stages run as elastic stateless tasks around it.
+    import ray
+
+    # Size pools so their sum leaves ≥2 CPUs for the stateless task
+    # operators (read / sniff / finalize) — a pool set that reserves every
+    # CPU starves them and the pipeline deadlocks.
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    use_actor_pools = ncpu >= 4 or cfg.extract_concurrency is not None
+    if use_actor_pools:
+        if cfg.lang_concurrency is None:
+            cfg.lang_concurrency = max(1, ncpu // 8)
+        lang_n = (
+            cfg.lang_concurrency[1]
+            if isinstance(cfg.lang_concurrency, tuple)
+            else cfg.lang_concurrency
+        )
+        if cfg.extract_concurrency is None:
+            cfg.extract_concurrency = max(1, ncpu - lang_n - 2)
+
+    ds = ds.map_batches(
+        detect_content_type,
+        batch_format="pyarrow",
+        batch_size=cfg.sniff_batch_size,
+    )
+
+    from rika_ray.stages.extract import extract_batch_task
+    from rika_ray.stages.lang import lang_batch_task
+
+    extract_kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+    if use_actor_pools:
+        extract_kwargs["concurrency"] = cfg.extract_concurrency
+    extract_callable = ExtractStage if use_actor_pools else extract_batch_task
+
+    if cfg.route_mega_docs:
+        # Two-branch skew routing: docs over the threshold go through a
+        # dedicated pool one at a time so a mega-document never rides in a
+        # batch with (and stalls) small ones.
+        threshold = cfg.mega_doc_bytes
+
+        def _add_size(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column(
+                "doc_bytes", pc.binary_length(batch["html"])
+            )
+
+        ds = ds.map_batches(_add_size, batch_format="pyarrow")
+        small = ds.filter(
+            lambda row: (row["doc_bytes"] or 0) <= threshold
+        ).map_batches(extract_callable, **extract_kwargs)
+        mega_kwargs = dict(extract_kwargs, batch_size=1)
+        mega = ds.filter(
+            lambda row: (row["doc_bytes"] or 0) > threshold
+        ).map_batches(extract_callable, **mega_kwargs)
+        ds = small.union(mega)
+        ds = ds.drop_columns(["doc_bytes"])
+    else:
+        ds = ds.map_batches(extract_callable, **extract_kwargs)
+
+    lang_kwargs = dict(batch_format="pyarrow", batch_size=cfg.lang_batch_size)
+    if use_actor_pools:
+        lang_kwargs["concurrency"] = cfg.lang_concurrency
+    lang_callable = LangDetectStage if use_actor_pools else lang_batch_task
+    ds = ds.map_batches(lang_callable, **lang_kwargs)
+
+    ds = ds.map_batches(
+        make_finalizer(cfg.max_content_length, cfg.key_sort),
+        batch_format="pyarrow",
+        batch_size=cfg.lang_batch_size,
+    )
+    return ds
+
+
+def error_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """A1: per-error-type counts (drives job exit status, §2.8; reference
+    accumulates bad_targets and exits 1 iff any,
+    ``lib/rika/cli/rika_command.rb:94-123``)."""
+    return extracted.groupby("error_type").count()
+
+
+def media_type_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """A2: content-type distribution sorted by type (the README's flagship
+    machine-readable example, ``/root/reference/README.md:233-249``)."""
+    return extracted.groupby("media_type").count().sort("media_type")

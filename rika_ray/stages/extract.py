@@ -1,0 +1,150 @@
+"""Per-document extraction router (operators M3-M8, SURVEY.md §2.2/§3.4).
+
+One `map_batches` pass with per-type sub-kernels (branch on the sniffed
+``media_type`` per row) rather than N filtered sub-pipelines — this keeps a
+single scan over the corpus (SURVEY.md §3.4 "Mixed-format routing").
+
+Shaped as an actor-pool callable class: parser state (the PDF layout
+machinery, charset tables, dispatch table) lives on the actor, initialized
+once per worker (§2.3 stages T2/T3) — the scale analogue of the reference's
+once-per-JVM Tika bootstrap (``/root/reference/lib/rika.rb:16-34``).
+
+Every sub-kernel is wrapped per row: a poison document becomes an
+``error_type="parse_error"`` row; nothing raises out of the batch (§2.8 —
+reference behavior: a failed document is recorded and the run continues,
+``lib/rika/cli/rika_command.rb:85-89,197-216``).
+
+Output drops the raw ``html`` payload (multi-MB per row) so downstream
+stages move only extracted data through the object store.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from rika_ray.schema import METADATA_TYPE, SPANS_TYPE
+from rika_ray.stages import charset as charset_mod
+from rika_ray.stages import sniff as sniff_mod
+from rika_ray.stages.html_extract import extract_html
+from rika_ray.stages.image_meta import extract_image
+from rika_ray.stages.office import extract_docx
+from rika_ray.stages.pdf_extract import extract_pdf
+
+_TEXTUAL = {sniff_mod.PLAIN, sniff_mod.XML}
+_IMAGES = {sniff_mod.JPEG, sniff_mod.PNG, sniff_mod.GIF}
+
+
+_TASK_SINGLETON = None
+
+
+def extract_batch_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of ExtractStage for tiny clusters (<4 CPUs)
+    where dedicated actor pools would reserve every CPU and starve the task
+    operators. Ray reuses worker processes, so the module-level singleton
+    still gives once-per-worker parser state."""
+    global _TASK_SINGLETON
+    if _TASK_SINGLETON is None:
+        _TASK_SINGLETON = ExtractStage()
+    return _TASK_SINGLETON(batch)
+
+
+class ExtractStage:
+    """Actor-pool `map_batches` callable: sniffed web_pages batch →
+    + content, content_type, charset, spans, metadata columns."""
+
+    def __init__(self) -> None:
+        # dispatch table + any parser state, built once per actor
+        self._dispatch = {
+            sniff_mod.HTML: self._do_html,
+            sniff_mod.PDF: self._do_pdf,
+            sniff_mod.DOCX: self._do_docx,
+            **{m: self._do_text for m in _TEXTUAL},
+            **{m: self._do_image for m in _IMAGES},
+        }
+
+    # each sub-kernel: bytes → (content, content_type, charset, spans, meta)
+    def _do_text(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        return text, f"{media}; charset={cs}", cs, [], {"Content-Encoding": cs}
+
+    def _do_html(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_html(text)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_pdf(self, data: bytes, media: str):
+        content, spans, meta = extract_pdf(data)
+        return content, media, None, spans, meta
+
+    def _do_docx(self, data: bytes, media: str):
+        content, spans, meta = extract_docx(data)
+        return content, media, None, spans, meta
+
+    def _do_image(self, data: bytes, media: str):
+        content, spans, meta = extract_image(data, media)
+        return content, media, None, spans, meta
+
+    def _do_opaque(self, data: bytes, media: str):
+        # unknown binary → empty content, bare container type
+        # (reference: unknown.bin → application/octet-stream with "" content,
+        #  spec/rika/parser_spec.rb:186-188,236-238)
+        return "", media, None, [], {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html_col = batch["html"]
+        media_col = batch["media_type"]
+        err_t_col = batch["error_type"]
+        err_m_col = batch["error_message"]
+        n = len(batch)
+
+        contents: list[str | None] = [None] * n
+        ctypes: list[str | None] = [None] * n
+        charsets: list[str | None] = [None] * n
+        spans_out: list[list | None] = [None] * n
+        meta_out: list[list | None] = [None] * n
+        err_t = err_t_col.to_pylist()
+        err_m = err_m_col.to_pylist()
+
+        for i in range(n):
+            if err_t[i] is not None:
+                continue  # pre-flagged (e.g. empty_file): skip, keep error
+            media = media_col[i].as_py()
+            data = html_col[i].as_py()
+            kernel = self._dispatch.get(media, self._do_opaque)
+            try:
+                content, ctype, cs, spans, meta = kernel(data, media)
+            except Exception as e:  # poison row must never abort the job
+                if isinstance(e, (MemoryError, KeyboardInterrupt)):
+                    raise
+                err_t[i] = "parse_error"
+                err_m[i] = f"{type(e).__name__}: {e}"
+                continue
+            contents[i] = content
+            ctypes[i] = ctype
+            charsets[i] = cs
+            spans_out[i] = spans
+            meta_out[i] = [
+                {"key": k, "value": v} for k, v in meta.items()
+            ]
+
+        out = batch.drop_columns(
+            [c for c in ("html", "text", "lang") if c in batch.column_names]
+        )
+        out = out.set_column(
+            out.schema.get_field_index("error_type"),
+            "error_type",
+            pa.array(err_t, pa.string()),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("error_message"),
+            "error_message",
+            pa.array(err_m, pa.string()),
+        )
+        return (
+            out.append_column("content", pa.array(contents, pa.large_string()))
+            .append_column("content_type", pa.array(ctypes, pa.string()))
+            .append_column("charset", pa.array(charsets, pa.string()))
+            .append_column("spans", pa.array(spans_out, SPANS_TYPE))
+            .append_column("metadata", pa.array(meta_out, METADATA_TYPE))
+        )

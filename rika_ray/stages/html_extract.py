@@ -1,0 +1,145 @@
+"""HTML main-content extraction (operator M4, SURVEY.md §2.2) — the
+flagship stage.
+
+The reference gets HTML body text from Tika's HtmlParser (URL parses in
+``/root/reference/spec/integration/web_url_processing_spec.rb:66-78``); the
+north rule (BASELINE.json) upgrades this to a **Boilerpipe-style block
+classifier**: parse the DOM, segment into text blocks at block-level element
+boundaries, score each block by word count and link density, and keep only
+main-content blocks.
+
+Normative extraction spec (the corpus generator computes goldens from the
+same rules — see ``docgen.expected_html_content``):
+
+1. Decode bytes (charset stage rules), parse with an HTML tokenizer;
+   ``script``/``style``/``noscript``/``template``/``svg``/``iframe``
+   subtrees contribute no text.
+2. A *block* is the text run between block-level tag boundaries (``p``,
+   ``div``, ``h1``-``h6``, ``li``, ``td``, …). Inline tags (``a``,
+   ``span``, ``b``, …) do not break blocks.
+3. Per block: ``text`` = whitespace-normalized run (collapse runs of
+   whitespace to one space, strip); ``n_words`` = split count;
+   ``link_density`` = words inside ``<a>`` / ``n_words``.
+4. Keep blocks with ``n_words >= MIN_WORDS`` (10) and
+   ``link_density <= MAX_LINK_DENSITY`` (0.25).
+5. ``content`` = kept block texts joined by ``"\\n"``; ``spans`` = one
+   entry per kept block (page=0, order=index, kind="p").
+6. ``<title>`` text (normalized) → metadata key ``dc:title``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from rika_ray.docgen import normalize_block_text
+
+MIN_WORDS = 10
+MAX_LINK_DENSITY = 0.25
+
+_BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li td th tr table ul ol dl dd dt article
+    section blockquote pre main header footer nav aside body figure
+    figcaption form fieldset address hr br center""".split()
+)
+_SKIP_TAGS = frozenset("script style noscript template svg iframe".split())
+
+
+class _Block:
+    __slots__ = ("parts", "linked_words")
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.linked_words = 0
+
+
+class _BlockParser(HTMLParser):
+    """Tokenizes HTML into text blocks with per-block link-word counts."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int]] = []  # (text, n_words, n_linked)
+        self._cur = _Block()
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._in_title = False
+        self.title_parts: list[str] = []
+
+    def _flush(self) -> None:
+        raw = "".join(self._cur.parts)
+        text = normalize_block_text(raw)
+        if text:
+            n_words = len(text.split())
+            self.blocks.append((text, n_words, self._cur.linked_words))
+        self._cur = _Block()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if data:
+            self._cur.parts.append(data)
+            if self._anchor_depth:
+                self._cur.linked_words += len(data.split())
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_html(html_text: str) -> tuple[str, list[dict], dict[str, str]]:
+    """Extract (content, spans, metadata) from decoded HTML text.
+
+    Returns the main-content text per the normative spec above, spans for
+    each kept block, and metadata (``dc:title`` when a title exists).
+    """
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+
+    kept: list[str] = []
+    spans: list[dict] = []
+    for text, n_words, n_linked in parser.blocks:
+        if n_words < MIN_WORDS:
+            continue
+        if n_linked / n_words > MAX_LINK_DENSITY:
+            continue
+        spans.append(
+            {"page": 0, "order": len(kept), "kind": "p", "text": text}
+        )
+        kept.append(text)
+
+    metadata: dict[str, str] = {}
+    title = normalize_block_text("".join(parser.title_parts))
+    if title:
+        metadata["dc:title"] = title
+    return "\n".join(kept), spans, metadata

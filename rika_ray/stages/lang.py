@@ -1,0 +1,180 @@
+"""Language detection (stateful stage T1, SURVEY.md §2.3).
+
+The reference memoizes Optimaize n-gram language models once per JVM
+(``/root/reference/lib/rika.rb:58-61,104-107``) and detects an ISO 639-1
+code from the extracted content of every document
+(``lib/rika/parser.rb:30``; per-language goldens
+``spec/rika/parser_spec.rb:252-259``; the ``lang_cant_be_determined.txt``
+fixture shows the undetermined path).
+
+This is a from-scratch Cavnar–Trenkle character-n-gram rank-profile
+classifier. Language profiles are built from embedded seed text (authored
+paragraphs + per-language function-word inventories — the same signal real
+n-gram detectors rely on). The profile build happens in ``__init__`` of the
+actor-pool callable, i.e. once per worker — exactly the once-per-process
+semantics the reference's memoization provides.
+
+Undetermined policy: text shorter than ``MIN_CHARS`` (24) after stripping →
+``None`` (covers "hello"/"hej"-style fixtures and empty content).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+MIN_CHARS = 24
+_PROFILE_SIZE = 400
+_DETECT_PREFIX = 2000  # chars of content used for detection (perf cap)
+
+# Authored seed paragraphs (distinct from the corpus fixture texts).
+_SEED_TEXT = {
+    "en": (
+        "In the city the mornings begin with the sound of trains and the "
+        "slow opening of small shops along the main street. People carry "
+        "bread and newspapers, and the air smells of rain that fell during "
+        "the night. By noon the squares are full of students and office "
+        "workers who eat lunch on the stone steps and talk about the news "
+        "of the day. When evening comes the lamps are lit one by one and "
+        "the streets grow quiet again, except for the last bus that "
+        "crosses the bridge toward the northern hills."
+    ),
+    "de": (
+        "In der Stadt beginnen die Morgen mit dem Geräusch der Züge und "
+        "dem langsamen Öffnen der kleinen Läden entlang der Hauptstraße. "
+        "Die Menschen tragen Brot und Zeitungen, und die Luft riecht nach "
+        "dem Regen, der in der Nacht gefallen ist. Gegen Mittag sind die "
+        "Plätze voller Studenten und Büroangestellter, die auf den "
+        "Steinstufen zu Mittag essen und über die Nachrichten des Tages "
+        "sprechen. Wenn der Abend kommt, werden die Lampen eine nach der "
+        "anderen angezündet und die Straßen werden wieder still."
+    ),
+    "fr": (
+        "Dans la ville, les matins commencent avec le bruit des trains et "
+        "l'ouverture lente des petites boutiques le long de la rue "
+        "principale. Les gens portent du pain et des journaux, et l'air "
+        "sent la pluie tombée pendant la nuit. Vers midi, les places sont "
+        "pleines d'étudiants et d'employés qui déjeunent sur les marches "
+        "de pierre et parlent des nouvelles du jour. Quand le soir vient, "
+        "les lampes s'allument une à une et les rues redeviennent "
+        "tranquilles."
+    ),
+    "es": (
+        "En la ciudad las mañanas comienzan con el sonido de los trenes y "
+        "la lenta apertura de las pequeñas tiendas a lo largo de la calle "
+        "principal. La gente lleva pan y periódicos, y el aire huele a la "
+        "lluvia que cayó durante la noche. Hacia el mediodía las plazas "
+        "están llenas de estudiantes y oficinistas que almuerzan en los "
+        "escalones de piedra y hablan de las noticias del día. Cuando "
+        "llega la tarde las lámparas se encienden una a una y las calles "
+        "vuelven a quedar tranquilas."
+    ),
+    "ru": (
+        "В городе утро начинается со звука поездов и медленного открытия "
+        "маленьких магазинов вдоль главной улицы. Люди несут хлеб и "
+        "газеты, а воздух пахнет дождём, который шёл ночью. К полудню "
+        "площади полны студентов и служащих, которые обедают на каменных "
+        "ступенях и говорят о новостях дня. Когда наступает вечер, лампы "
+        "зажигаются одна за другой и улицы снова становятся тихими."
+    ),
+}
+
+
+def _ngram_counts(text: str, max_chars: int | None = None) -> Counter:
+    if max_chars is not None:
+        text = text[:max_chars]
+    cleaned = "".join(c if c.isalpha() else " " for c in text.lower())
+    counts: Counter = Counter()
+    for word in cleaned.split():
+        padded = f" {word} "
+        L = len(padded)
+        for n in (1, 2, 3):
+            for i in range(L - n + 1):
+                counts[padded[i : i + n]] += 1
+    return counts
+
+
+def _rank_profile(counts: Counter, size: int = _PROFILE_SIZE) -> dict[str, int]:
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return {gram: rank for rank, (gram, _) in enumerate(top)}
+
+
+def build_profiles(
+    extra_seed: dict[str, str] | None = None,
+) -> dict[str, dict[str, int]]:
+    """Language → rank profile. Seed = authored paragraph + function words."""
+    from rika_ray.corpus import WORD_POOL
+
+    profiles = {}
+    seeds = dict(_SEED_TEXT)
+    if extra_seed:
+        for k, v in extra_seed.items():
+            seeds[k] = seeds.get(k, "") + " " + v
+    for lang_code, seed in seeds.items():
+        text = seed
+        if lang_code in WORD_POOL:
+            # function words are the strongest n-gram signal; weight them in
+            text += " " + " ".join(WORD_POOL[lang_code]) * 3
+        profiles[lang_code] = _rank_profile(_ngram_counts(text))
+    return profiles
+
+
+def _distance(text_profile: dict[str, int], lang_profile: dict[str, int]) -> int:
+    max_oop = _PROFILE_SIZE
+    total = 0
+    for gram, rank in text_profile.items():
+        lang_rank = lang_profile.get(gram)
+        total += max_oop if lang_rank is None else abs(rank - lang_rank)
+    return total
+
+
+def detect_language(
+    text: str | None, profiles: dict[str, dict[str, int]]
+) -> str | None:
+    """ISO 639-1 code, or None when undetermined (too-short input)."""
+    if text is None:
+        return None
+    stripped = text.strip()
+    if len(stripped) < MIN_CHARS:
+        return None
+    tp = _rank_profile(_ngram_counts(stripped, _DETECT_PREFIX))
+    if not tp:
+        return None
+    best_lang, _ = min(
+        ((lang_code, _distance(tp, p)) for lang_code, p in profiles.items()),
+        key=lambda kv: kv[1],
+    )
+    return best_lang
+
+
+_TASK_PROFILES = None
+
+
+def lang_batch_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of LangDetectStage for tiny clusters; the
+    module-level profile cache persists per reused worker process."""
+    global _TASK_PROFILES
+    if _TASK_PROFILES is None:
+        _TASK_PROFILES = build_profiles()
+    langs = [
+        detect_language(batch["content"][i].as_py(), _TASK_PROFILES)
+        for i in range(len(batch))
+    ]
+    return batch.append_column("language", pa.array(langs, pa.string()))
+
+
+class LangDetectStage:
+    """Actor-pool `map_batches` callable: adds a `language` column from
+    `content`. Profiles are built once per actor in __init__ (T1)."""
+
+    def __init__(self) -> None:
+        self.profiles = build_profiles()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch["content"]
+        langs = [
+            detect_language(content[i].as_py(), self.profiles)
+            for i in range(len(batch))
+        ]
+        return batch.append_column("language", pa.array(langs, pa.string()))

@@ -1,0 +1,121 @@
+"""Content-type detection from magic bytes (operator M1, SURVEY.md §2.2).
+
+The reference delegates MIME sniffing to Tika's ``DefaultDetector``
+(wired at ``/root/reference/lib/rika.rb:45`` and
+``lib/rika/parser.rb:21``), which detects from content — a file with no
+extension is still identified (``spec/rika/parser_spec.rb:143-146``) and
+unknown bytes fall back to ``application/octet-stream``
+(``spec/rika/parser_spec.rb:236-238``).
+
+This stage re-implements that semantics as a stateless ``map_batches``
+kernel: it inspects only a bounded prefix/suffix of each payload (never the
+whole document), so per-row work is O(1) regardless of document size. A
+zero-length payload becomes an ``empty_file`` error row — the scale
+reinterpretation of the reference's empty-file pre-filter
+(``lib/rika/cli/args_parser.rb:227``); the run continues (§2.8).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Media types (detection targets). OOXML subtypes distinguished by member
+# names inside the ZIP.
+PDF = "application/pdf"
+PNG = "image/png"
+GIF = "image/gif"
+JPEG = "image/jpeg"
+ZIP = "application/zip"
+DOCX = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+XLSX = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+PPTX = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+OLE2 = "application/x-ole-storage"
+HTML = "text/html"
+XML = "application/xml"
+PLAIN = "text/plain"
+OCTET = "application/octet-stream"
+
+_HTML_MARKERS = (
+    b"<!doctype html",
+    b"<html",
+    b"<head",
+    b"<body",
+    b"<title",
+    b"<h1",
+    b"<div",
+    b"<p>",
+)
+
+_SNIFF_PREFIX = 2048
+_SNIFF_SUFFIX = 4096  # ZIP central directory lives at the end
+
+
+def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
+    """Classify a payload from its first bytes (and, for ZIP containers,
+    its last bytes). Pure function — the normative magic-byte table.
+    """
+    if suffix is None:
+        suffix = prefix
+    if prefix.startswith(b"%PDF-"):
+        return PDF
+    if prefix.startswith(b"\x89PNG\r\n\x1a\n"):
+        return PNG
+    if prefix.startswith((b"GIF87a", b"GIF89a")):
+        return GIF
+    if prefix.startswith(b"\xff\xd8\xff"):
+        return JPEG
+    if prefix.startswith(b"PK\x03\x04"):
+        zone = prefix + suffix
+        if b"word/" in zone:
+            return DOCX
+        if b"xl/" in zone:
+            return XLSX
+        if b"ppt/" in zone:
+            return PPTX
+        return ZIP
+    if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return OLE2
+    # Unicode BOMs mark text; fall through to the HTML scan on decoded-ish
+    # bytes (BOM-stripped lowercase scan below).
+    scan = prefix
+    if scan.startswith(b"\xef\xbb\xbf"):
+        scan = scan[3:]
+    lowered = scan[:1024].lower().lstrip()
+    if lowered.startswith(b"<?xml"):
+        return HTML if b"<html" in lowered else XML
+    for marker in _HTML_MARKERS:
+        if lowered.startswith(marker):
+            return HTML
+    if any(m in lowered for m in (b"<html", b"<head", b"<body")):
+        return HTML
+    # text-vs-binary heuristic: NUL bytes or a high ratio of control
+    # characters → binary.
+    if b"\x00" in prefix:
+        return OCTET
+    n_ctrl = sum(1 for c in prefix if c < 0x20 and c not in (9, 10, 13))
+    if prefix and n_ctrl / len(prefix) > 0.10:
+        return OCTET
+    return PLAIN
+
+
+def detect_content_type(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: web_pages batch → + media_type, error_type,
+    error_message columns. Never raises (§2.8 error-as-data).
+    """
+    html_col = batch["html"]
+    n = len(batch)
+    media = [None] * n
+    err_t = [None] * n
+    err_m = [None] * n
+    for i in range(n):
+        v = html_col[i].as_py()
+        if v is None or len(v) == 0:
+            err_t[i] = "empty_file"
+            err_m[i] = "zero-length document payload"
+            continue
+        media[i] = sniff_bytes(v[:_SNIFF_PREFIX], v[-_SNIFF_SUFFIX:])
+    return (
+        batch.append_column("media_type", pa.array(media, pa.string()))
+        .append_column("error_type", pa.array(err_t, pa.string()))
+        .append_column("error_message", pa.array(err_m, pa.string()))
+    )

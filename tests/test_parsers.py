@@ -1,0 +1,153 @@
+"""Unit goldens for the per-format parser kernels (M2-M7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rika_ray import docgen
+from rika_ray.stages.charset import detect_charset, decode_text
+from rika_ray.stages.html_extract import extract_html
+from rika_ray.stages.image_meta import (
+    ImageParseError,
+    extract_image,
+    gif_dimensions,
+    jpeg_dimensions,
+    png_dimensions,
+)
+from rika_ray.stages.office import OfficeParseError, extract_docx
+from rika_ray.stages.pdf_extract import PdfParseError, extract_pdf
+
+
+# --- charset (M2) ---
+
+def test_charset_detection():
+    assert detect_charset(b"hello") == "UTF-8"
+    assert detect_charset("héllo".encode("utf-8")) == "UTF-8"
+    assert detect_charset("héllo".encode("iso-8859-1")) == "ISO-8859-1"
+    assert detect_charset(b"\xef\xbb\xbfx") == "UTF-8"
+    assert detect_charset(b"\xff\xfeh\x00i\x00") == "UTF-16LE"
+    assert detect_charset(b"\xfe\xff\x00h\x00i") == "UTF-16BE"
+
+
+def test_decode_text_roundtrip():
+    assert decode_text("naïve café".encode("iso-8859-1")) == ("naïve café", "ISO-8859-1")
+    assert decode_text("naïve café".encode("utf-8")) == ("naïve café", "UTF-8")
+    assert decode_text(b"\xff\xfeh\x00i\x00")[0] == "hi"
+    assert decode_text(b"\xef\xbb\xbfhi")[0] == "hi"  # BOM stripped
+
+
+# --- HTML (M4) ---
+
+def test_html_main_content_recovered():
+    paras = [
+        "This is the first paragraph of the article and it has plenty of "
+        "words to pass the minimum block threshold easily.",
+        "Here is a second long paragraph that also carries the main "
+        "content of the page with many ordinary words in it.",
+    ]
+    page = docgen.build_html_page("My Title", paras, ["Home", "News", "Sports"])
+    content, spans, meta = extract_html(page.decode("utf-8"))
+    assert content == docgen.expected_html_content(paras)
+    assert meta["dc:title"] == "My Title"
+    assert [s["order"] for s in spans] == [0, 1]
+    assert spans[0]["text"].startswith("This is the first")
+
+
+def test_html_boilerplate_dropped():
+    page = docgen.build_html_page(
+        "T",
+        ["Main content paragraph with well over ten distinct words inside "
+         "of it for the classifier."],
+        ["Home", "News", "Sports", "Weather", "Archive"],
+    ).decode("utf-8")
+    content, _, _ = extract_html(page)
+    assert "Home" not in content
+    assert "Copyright" not in content
+    assert "tracker" not in content  # script stripped
+    assert "margin" not in content  # style stripped
+
+
+def test_html_link_farm_yields_empty():
+    page = docgen.build_link_farm_page("Index", [f"Topic {i}" for i in range(20)])
+    content, spans, meta = extract_html(page.decode("utf-8"))
+    assert content == ""
+    assert spans == []
+    assert meta["dc:title"] == "Index"
+
+
+def test_html_entities_decoded():
+    html = "<html><body><p>Fish &amp; chips cost five pounds and that is " \
+           "quite a fair price for dinner these days.</p></body></html>"
+    content, _, _ = extract_html(html)
+    assert "Fish & chips" in content
+
+
+# --- PDF (M5) ---
+
+def test_pdf_roundtrip_uncompressed():
+    pages = [["First line of page one.", "Second line here."],
+             ["Page two starts now."]]
+    data = docgen.build_pdf(pages, title="T1", author="A1")
+    content, spans, meta = extract_pdf(data)
+    assert content == docgen.expected_pdf_content(pages)
+    assert content.startswith("\n")  # rika's leading-newline quirk
+    assert meta["dc:title"] == "T1"
+    assert meta["dc:creator"] == "A1"
+    assert meta["xmpTPg:NPages"] == "2"
+    assert [(s["page"], s["order"]) for s in spans] == [(0, 0), (0, 1), (1, 0)]
+
+
+def test_pdf_roundtrip_flate():
+    pages = [["Compressed stream content line."]]
+    data = docgen.build_pdf(pages, compress=True)
+    content, _, _ = extract_pdf(data)
+    assert content == docgen.expected_pdf_content(pages)
+
+
+def test_pdf_escapes():
+    pages = [["Parens (nested) and back\\slash."]]
+    data = docgen.build_pdf(pages)
+    content, _, _ = extract_pdf(data)
+    assert "Parens (nested) and back\\slash." in content
+
+
+def test_pdf_corrupt_raises():
+    with pytest.raises(PdfParseError):
+        extract_pdf(b"%PDF-1.4\n\x01\x02garbage without objects")
+    with pytest.raises(PdfParseError):
+        extract_pdf(b"not a pdf at all")
+
+
+# --- DOCX (M6) ---
+
+def test_docx_roundtrip():
+    paras = ["First paragraph here.", "Second paragraph follows."]
+    data = docgen.build_docx(paras, title="DT", creator="DC", page_count=3)
+    content, spans, meta = extract_docx(data)
+    assert content == docgen.expected_docx_content(paras)
+    assert meta == {"dc:title": "DT", "dc:creator": "DC", "meta:page-count": "3"}
+    assert len(spans) == 2
+
+
+def test_docx_bad_zip_raises():
+    with pytest.raises(OfficeParseError):
+        extract_docx(b"PK\x03\x04 not really a zip")
+
+
+# --- images (M7) ---
+
+def test_image_dimensions():
+    assert jpeg_dimensions(docgen.build_jpeg(72, 48)) == (72, 48)
+    assert png_dimensions(docgen.build_png(64, 32)) == (64, 32)
+    assert gif_dimensions(docgen.build_gif(10, 20)) == (10, 20)
+
+
+def test_image_metadata_shape():
+    content, spans, meta = extract_image(docgen.build_jpeg(72, 72), "image/jpeg")
+    assert content == ""  # no-text format → empty string, not null
+    assert meta == {"Image Height": "72 pixels", "Image Width": "72 pixels"}
+
+
+def test_image_corrupt_raises():
+    with pytest.raises(ImageParseError):
+        jpeg_dimensions(b"\xff\xd8\xff\xe0 but then truncated")

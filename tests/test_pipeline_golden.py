@@ -1,0 +1,150 @@
+"""End-to-end golden test: full extraction pipeline over the synthetic
+corpus, verified against the analytically-computed expected_extractions
+table — the scale reinterpretation of rika's golden RSpec fixtures
+(SURVEY.md §5.2 layer 2). The per-row invariant is **byte-identical
+extracted content per url**."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from rika_ray.pipelines.extraction import (
+    ExtractionConfig,
+    build_extraction_pipeline,
+    error_tally,
+    media_type_tally,
+    read_web_pages,
+)
+from rika_ray.schema import EXTRACTED_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, corpus_dir):
+    import ray
+
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    out = build_extraction_pipeline(ds, ExtractionConfig())
+    tables = ray.get(out.to_arrow_refs())
+    return pa.concat_tables([t for t in tables if len(t)])
+
+
+def _load_expected(corpus_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{corpus_dir}/expected_extractions.parquet")
+
+
+def _index_by_position(tbl: pa.Table) -> list[dict]:
+    return tbl.to_pylist()
+
+
+def test_schema(extracted):
+    got = set(extracted.column_names)
+    assert got == set(EXTRACTED_SCHEMA.names)
+
+
+def test_byte_identical_content_per_url(extracted, corpus_dir):
+    expected = _load_expected(corpus_dir).to_pylist()
+    got_rows = extracted.to_pylist()
+    # dup urls exist: compare as sorted multisets keyed by (url, content)
+    assert len(got_rows) == len(expected)
+    got_by_url: dict[str, list[dict]] = {}
+    for r in got_rows:
+        got_by_url.setdefault(r["url"], []).append(r)
+    mismatches = []
+    for e in expected:
+        g = got_by_url[e["url"]][0]
+        if g["content"] != e["content"]:
+            mismatches.append(
+                (e["url"], repr(e["content"])[:80], repr(g["content"])[:80])
+            )
+    assert not mismatches, mismatches[:5]
+
+
+def test_content_type_charset_language(extracted, corpus_dir):
+    expected = _load_expected(corpus_dir).to_pylist()
+    got = {r["url"]: r for r in extracted.to_pylist()}
+    for e in expected:
+        g = got[e["url"]]
+        assert g["content_type"] == e["content_type"], e["url"]
+        assert g["media_type"] == e["media_type"], e["url"]
+        assert g["charset"] == e["charset"], e["url"]
+        assert g["language"] == e["language"], (e["url"], g["language"])
+
+
+def test_metadata_golden(extracted, corpus_dir):
+    expected = _load_expected(corpus_dir).to_pylist()
+    got = {r["url"]: r for r in extracted.to_pylist()}
+    for e in expected:
+        g = got[e["url"]]
+        assert g["metadata"] == e["metadata"], (e["url"], g["metadata"], e["metadata"])
+
+
+def test_error_rows_and_continuation(extracted, corpus_dir):
+    expected = _load_expected(corpus_dir).to_pylist()
+    got = {r["url"]: r for r in extracted.to_pylist()}
+    n_err = 0
+    for e in expected:
+        g = got[e["url"]]
+        assert g["error_type"] == e["error_type"], (e["url"], g["error_type"])
+        if e["error_type"] is not None:
+            n_err += 1
+            assert g["content"] is None
+            assert g["error_message"] is not None
+    assert n_err == 4  # 2 empty + 2 corrupt-pdf — and the run completed
+
+
+def test_provenance_columns(extracted):
+    for r in extracted.to_pylist():
+        assert r["input_type"] == "http"  # all fixture urls are https
+        assert r["data_source"] == r["url"]
+
+
+def test_tallies(ray_session, corpus_dir):
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    out = build_extraction_pipeline(ds, ExtractionConfig())
+    err = {r["error_type"]: r["count()"] for r in error_tally(out).take_all()}
+    assert err.get("empty_file") == 2
+    assert err.get("parse_error") == 2
+    mt = media_type_tally(out).to_pandas()
+    assert (mt["media_type"].dropna().sort_values().tolist()
+            == sorted(mt["media_type"].dropna().tolist()))
+
+
+def test_truncation_is_char_prefix(ray_session, corpus_dir):
+    """M11: truncated output is a strict prefix of full output, counted in
+    characters (document_processing_spec.rb:88-105; parser_spec.rb:164-166)."""
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    full = {
+        r["url"]: r["content"]
+        for r in build_extraction_pipeline(ds, ExtractionConfig())
+        .select_columns(["url", "content"]).take_all()
+    }
+    for n in (8, 50):
+        trunc = {
+            r["url"]: r["content"]
+            for r in build_extraction_pipeline(
+                read_web_pages(f"{corpus_dir}/web_pages.parquet"),
+                ExtractionConfig(max_content_length=n),
+            ).select_columns(["url", "content"]).take_all()
+        }
+        for url, c in trunc.items():
+            if c is None:
+                assert full[url] is None
+                continue
+            assert len(c) <= n
+            assert full[url].startswith(c), url
+
+
+def test_truncation_zero_suppresses(ray_session, corpus_dir):
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    rows = (
+        build_extraction_pipeline(ds, ExtractionConfig(max_content_length=0))
+        .select_columns(["url", "content", "error_type"]).take_all()
+    )
+    for r in rows:
+        if r["error_type"] is None:
+            assert r["content"] == ""
+        else:
+            assert r["content"] is None

@@ -1,0 +1,54 @@
+"""MIME sniffer goldens (M1) — detection from magic bytes only, no
+extension/URL hints (reference proof: extension-less image detected,
+spec/rika/parser_spec.rb:143-146; unknown → octet-stream :236-238)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from rika_ray import docgen
+from rika_ray.stages import sniff
+from rika_ray.stages.sniff import detect_content_type, sniff_bytes
+
+
+def _sniff(payload: bytes) -> str:
+    return sniff_bytes(payload[:2048], payload[-4096:])
+
+
+def test_magic_bytes_table():
+    assert _sniff(b"%PDF-1.4\nxyz") == sniff.PDF
+    assert _sniff(docgen.build_png(4, 4)) == sniff.PNG
+    assert _sniff(docgen.build_gif(4, 4)) == sniff.GIF
+    assert _sniff(docgen.build_jpeg(4, 4)) == sniff.JPEG
+    assert _sniff(docgen.build_docx(["x"])) == sniff.DOCX
+    assert _sniff(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100) == sniff.OLE2
+    assert _sniff(b"<!DOCTYPE html><html></html>") == sniff.HTML
+    assert _sniff(b"  \n <html><body>hi</body></html>") == sniff.HTML
+    assert _sniff(b"<?xml version='1.0'?><root/>") == sniff.XML
+    assert _sniff("plain old text, nothing else.".encode()) == sniff.PLAIN
+    assert _sniff(b"\x00\x00\x30\x39") == sniff.OCTET
+
+
+def test_no_extension_needed():
+    # detection works on bytes alone — same payload, any "name"
+    jpeg = docgen.build_jpeg(72, 72)
+    assert _sniff(jpeg) == sniff.JPEG
+
+
+def test_bom_text():
+    assert _sniff(b"\xef\xbb\xbfhello world") == sniff.PLAIN
+
+
+def test_detect_batch_kernel(corpus_tables):
+    web_pages, expected = corpus_tables
+    out = detect_content_type(web_pages)
+    got = {
+        r["url"]: (r["media_type"], r["error_type"])
+        for r in out.select(["url", "media_type", "error_type"]).to_pylist()
+    }
+    for r in expected.to_pylist():
+        url = r["url"]
+        if r["error_type"] == "empty_file":
+            assert got[url] == (None, "empty_file"), url
+        elif r["media_type"] is not None:
+            assert got[url][0] == r["media_type"], (url, got[url])
