@@ -1,44 +1,212 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over a deterministic
+synthetic web_pages corpus (scaled per sf dir); ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis);
+``oracle_sql()`` gives the exact DuckDB equivalent for every
+SQL-expressible entry (identical column names; non-SQL-expressible ops are
+rows-only by omission).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in rika_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# extraction corpus scale per driver sf dir (rows ≈ 18×n + fixed families)
+_CORPUS_SCALE = {"sf0.001": 3, "sf0.01": 10, "sf0.1": 40}
+
+
+def _corpus_path(sf_dir: str) -> str:
+    """Deterministic synthetic web_pages corpus cached under /tmp, scaled to
+    match the driver's sf tier (the extraction pipeline's input shape is
+    fixed by BASELINE.json input_hint, not by the TPC-H tables)."""
+    from rika_ray.corpus import write_corpus
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _CORPUS_SCALE.get(name, 3)
+    out_dir = f"/tmp/rika_ray_corpus/{name}-n{n}"
+    marker = os.path.join(out_dir, "web_pages.parquet")
+    if not os.path.exists(marker):
+        write_corpus(out_dir, n_per_family=n, seed=42)
+    return out_dir
+
+
+def _extract_ds(sf_dir: str):
+    from rika_ray.pipelines.extraction import (
+        ExtractionConfig,
+        build_extraction_pipeline,
+        read_web_pages,
+    )
+
+    corpus = _corpus_path(sf_dir)
+    ds = read_web_pages(f"{corpus}/web_pages.parquet")
+    return build_extraction_pipeline(ds, ExtractionConfig())
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: web_pages → sniff → extract → lang →
+    finalize. Returns the extracted Dataset (scalar columns only — nested
+    spans/metadata are exercised by the pytest goldens)."""
+    ds = _extract_ds(_SMOKE_SF_DIR)
+    return ds.select_columns(
+        ["url", "content", "content_type", "media_type", "charset",
+         "language", "input_type", "data_source", "error_type"]
+    )
+
+
+def _q_extract_full(sf_dir: str):
+    return _extract_ds(sf_dir).select_columns(
+        ["url", "content", "content_type", "media_type", "charset",
+         "language", "error_type"]
+    ).sort("url")
+
+
+def _q_extract_media_tally(sf_dir: str):
+    from rika_ray.pipelines.extraction import media_type_tally
+
+    return media_type_tally(_extract_ds(sf_dir))
+
+
+def _q_extract_error_tally(sf_dir: str):
+    from rika_ray.pipelines.extraction import error_tally
+
+    return error_tally(_extract_ds(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rika_ray.pipelines import dedup, relational, similarity, text_analysis
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline (rows-only: parser semantics, not SQL) ---
+        "extract_full": _q_extract_full,
+        "extract_media_tally": _q_extract_media_tally,
+        "extract_error_tally": _q_extract_error_tally,
+        # --- relational operators (SQL-oracled) ---
+        "source_tally": relational.source_tally,
+        "lang_claim_tally": relational.lang_claim_tally,
+        "top_words": relational.top_words,
+        "docs_filter_project": relational.docs_filter_project,
+        "lineitem_filter_project": relational.lineitem_filter_project,
+        "pricing_summary": relational.pricing_summary,
+        "orders_priority_tally": relational.orders_priority_tally,
+        "orders_per_segment": relational.orders_per_segment,
+        "customers_per_region": relational.customers_per_region,
+        "events_hourly": relational.events_hourly,
+        "dedup_exact": relational.dedup_exact,
+        "distinct_langs": relational.distinct_langs,
+        # --- text analysis ---
+        "doc_token_counts": text_analysis.doc_token_counts,
+        "doc_fingerprints_md5": text_analysis.doc_fingerprints_md5,
+        "doc_fingerprints_rolling": text_analysis.doc_fingerprints_rolling,
+        "quality_scores": text_analysis.quality_scores,
+        "quality_filter": text_analysis.quality_filter,
+        "lang_id": text_analysis.lang_id,
+        # --- dedup ---
+        "dedup_exact_hashed": dedup.dedup_exact_survivors,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+    }
+
+
+_TOKENIZE_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "source_tally": (
+            "SELECT source, COUNT(*) AS n FROM documents "
+            "GROUP BY source ORDER BY source"
+        ),
+        "lang_claim_tally": (
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "top_words": (
+            f"SELECT word, COUNT(*) AS cnt FROM ("
+            f"SELECT unnest({_TOKENIZE_SQL}) AS word FROM documents) t "
+            f"GROUP BY word ORDER BY cnt DESC, word LIMIT 5"
+        ),
+        "docs_filter_project": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars > 300 ORDER BY doc_id"
+        ),
+        "lineitem_filter_project": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45.0"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "orders_priority_tally": (
+            "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "orders_per_segment": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "customers_per_region": (
+            "SELECT r_name, COUNT(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY text ORDER BY doc_id"
+        ),
+        "dedup_exact_hashed": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY text ORDER BY doc_id"
+        ),
+        "distinct_langs": (
+            "SELECT DISTINCT lang FROM documents ORDER BY lang"
+        ),
+        "doc_token_counts": (
+            f"SELECT doc_id, len({_TOKENIZE_SQL}) AS n_words "
+            f"FROM documents ORDER BY doc_id"
+        ),
+        "doc_fingerprints_md5": (
+            "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+        ),
+        "quality_filter": (
+            f"SELECT doc_id, n_words FROM ("
+            f"SELECT doc_id, len({_TOKENIZE_SQL}) AS n_words FROM documents) t "
+            f"WHERE n_words >= 50 ORDER BY doc_id"
+        ),
+        "ann_topk_bruteforce": (
+            "SELECT query_id, vec_id FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,"
+            "         ROW_NUMBER() OVER ("
+            "           PARTITION BY q.vec_id"
+            "           ORDER BY list_cosine_similarity(e.embedding, q.embedding)"
+            "                    DESC, e.vec_id) AS rn"
+            "  FROM embeddings e CROSS JOIN"
+            "       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q"
+            ") WHERE rn <= 10 ORDER BY query_id, vec_id"
+        ),
+    }

@@ -1,0 +1,80 @@
+"""Text scalar functions (SURVEY.md §2.7) shared by the relational and
+training-data operators.
+
+``tokenize`` is the normative tokenizer for word-level operators (A3 top-k
+words, token counting, shingling): lowercase, split on runs of whitespace,
+drop empties — chosen to be expressible 1:1 in DuckDB SQL
+(``regexp_split_to_array(lower(text), '\\s+')`` + empty filter) so the
+driver's oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS_RE = re.compile(r"\s+")
+
+
+def tokenize(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return [t for t in _WS_RE.split(text.lower()) if t]
+
+
+def content_type_split(content_type: str | None) -> tuple[str | None, str | None]:
+    """Split 'text/plain; charset=UTF-8' → ('text/plain', 'UTF-8').
+    Reference tests compare on split(';').first
+    (/root/reference/spec/integration/web_url_processing_spec.rb:245)."""
+    if content_type is None:
+        return None, None
+    parts = content_type.split(";", 1)
+    media = parts[0].strip()
+    charset = None
+    if len(parts) > 1 and "charset=" in parts[1]:
+        charset = parts[1].split("charset=", 1)[1].strip()
+    return media, charset
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def sha1_hex(data: bytes) -> str:
+    return hashlib.sha1(data).hexdigest()
+
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    """64-bit FNV-1a — the cheap stable hash used for shingles/features."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Document fingerprint: min of Rabin-Karp rolling hashes over
+    ``window``-char windows (a winnowing-style representative). Stable and
+    deterministic; used by the fingerprint operator."""
+    if len(text) < window:
+        return fnv1a64(text.encode("utf-8"))
+    base = 257
+    mod = (1 << 61) - 1
+    power = pow(base, window - 1, mod)
+    h = 0
+    data = text.encode("utf-8", errors="replace")
+    if len(data) < window:
+        return fnv1a64(data)
+    for b in data[:window]:
+        h = (h * base + b) % mod
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * power) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best

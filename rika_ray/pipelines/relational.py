@@ -1,0 +1,280 @@
+"""Relational operators over the driver testdata tables (SURVEY.md §2.5/2.6
+A1-A3, O2-O6, M12-M14 analogues) — each with an exact DuckDB-SQL oracle in
+``__ray_entry__.oracle_sql``.
+
+Scale notes baked into every implementation:
+- reads prune columns (``read_parquet(columns=[...])``),
+- high-cardinality aggregations pre-aggregate inside ``map_batches``
+  (partial combine) before the hash-shuffle ``groupby``,
+- small-side joins broadcast via ``ray.put`` + per-batch lookup instead of
+  an all-to-all shuffle join.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from rika_ray.functions.text import tokenize
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Tallies (A1/A2 analogues: low-cardinality groupby)
+# ---------------------------------------------------------------------------
+
+
+def source_tally(sf_dir: str) -> ray.data.Dataset:
+    """Documents per source — the content-type-tally shape of
+    /root/reference/README.md:233-249 over the documents table."""
+    return (
+        _rp(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .sort("source")
+    )
+
+
+def lang_claim_tally(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _rp(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .sort("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k words (A3, /root/reference/README.md:268-287) — partial aggregation
+# inside map_batches, then a small shuffle over (word, partial-count) rows.
+# ---------------------------------------------------------------------------
+
+
+def top_words(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for v in batch["text"]:
+            c.update(tokenize(v.as_py()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(_partial_counts, batch_format="pyarrow", batch_size=1024)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort([("cnt"), ("word")], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter (M12, M14)
+# ---------------------------------------------------------------------------
+
+
+def docs_filter_project(sf_dir: str, min_chars: int = 300) -> ray.data.Dataset:
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .filter(expr=f"n_chars > {min_chars}")
+        .select_columns(["doc_id", "lang", "n_chars"])
+    )
+
+
+def lineitem_filter_project(sf_dir: str, min_qty: float = 45.0) -> ray.data.Dataset:
+    return (
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+        .filter(expr=f"l_quantity > {min_qty}")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregate flagship (TPC-H Q1 shape over lineitem)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary per (returnflag, linestatus): the canonical wide
+    aggregate. Derived column computed vectorized per batch; doubles rounded
+    to 2dp in both engines so the value-hash is stable across summation
+    order."""
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = (
+        _rp(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_disc_price"),
+            "sum_disc_price",
+            pc.round(batch["sum_disc_price"], 2),
+        )
+
+    return ds.map_batches(_round, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def orders_priority_tally(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _rp(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+        .sort("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins (§2.4): small side shipped once via ray.put, looked up
+# per batch — no shuffle of the big side.
+# ---------------------------------------------------------------------------
+
+
+def orders_per_segment(sf_dir: str) -> ray.data.Dataset:
+    """orders ⨝ customer (broadcast) → count per market segment."""
+    cust = (
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class SegmentJoin:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            seg = batch["o_custkey"].map(self.lookup)
+            return pd.DataFrame({"c_mktsegment": seg})
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey"])
+        .map_batches(SegmentJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+        .sort("c_mktsegment")
+    )
+
+
+def customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """customer ⨝ nation ⨝ region via a composed broadcast lookup."""
+    nation = _rp(sf_dir, "nation").to_pandas()
+    region = _rp(sf_dir, "region").to_pandas()
+    region_names = dict(zip(region["r_regionkey"], region["r_name"]))
+    nation_to_region = {
+        int(r["n_nationkey"]): region_names[r["n_regionkey"]]
+        for _, r in nation.iterrows()
+    }
+    lookup_ref = ray.put(nation_to_region)
+
+    class RegionJoin:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"r_name": batch["c_nationkey"].map(self.lookup)}
+            )
+
+    return (
+        _rp(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(RegionJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n"))
+        .sort("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregate (streaming-shaped; SURVEY.md §2.10 —
+# expressed as GROUP BY date_trunc in both engines)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    def _floor(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "window_start", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+
+    ds = (
+        _rp(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(_floor, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], 2),
+        )
+
+    return ds.map_batches(_round, batch_format="pyarrow").sort(
+        ["window_start", "event_type"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content (O4 scale variant: keep first per duplicate group)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup on documents.text: keep the smallest doc_id per distinct
+    text (hash-partition groupby + per-group min). Returns survivor ids."""
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
+def distinct_langs(sf_dir: str) -> ray.data.Dataset:
+    """O6-ish set op: distinct claimed language codes."""
+    ds = _rp(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n")
+    )
+    return ds.select_columns(["lang"]).sort("lang")
+
+
+def sample_fraction(sf_dir: str, fraction: float = 0.1, seed: int = 7):
+    """O5: seeded sampling for QA sweeps (engine extra; no SQL oracle —
+    sampling RNGs differ across engines)."""
+    return _rp(sf_dir, "documents", ["doc_id"]).random_sample(
+        fraction, seed=seed
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (task brief "Similarity
+search" block): brute-force cosine top-k as the exact baseline, and a
+hyperplane-LSH bucketed variant as the approximate scale path.
+
+Scale pattern: the query matrix is broadcast (``ray.put`` once, read in
+each actor's ``__init__``); each batch computes a vectorized numpy matmul
+and emits only its local top-k candidates — the driver-side final reduce
+sees ``k × n_batches`` rows, never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _embeddings(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    rows = (
+        _embeddings(sf_dir)
+        .filter(expr=f"vec_id < {max(query_ids) + 1}")
+        .take_all()
+    )
+    by_id = {r["vec_id"]: r["embedding"] for r in rows}
+    mat = np.stack([np.asarray(by_id[q], dtype=np.float64) for q in query_ids])
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk_bruteforce(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10
+) -> ray.data.Dataset:
+    """Exact cosine top-k per query vector. Per-batch local top-k, final
+    exact reduce over the small candidate set."""
+    queries = _query_matrix(sf_dir, list(query_ids))
+    q_ref = ray.put(queries)
+    qids = list(query_ids)
+
+    class LocalTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # (n_q, dim), unit-normalized
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            unit = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
+            sims = unit @ self.q.T  # (n, n_q)
+            ids = batch["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                top = np.argsort(-col, kind="stable")[:k]
+                for t in top:
+                    out.append((qid, int(ids[t]), float(col[t])))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+
+    candidates = _embeddings(sf_dir).map_batches(
+        LocalTopK, batch_format="pandas", batch_size=4096, concurrency=2, num_cpus=0.5
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        # exact final top-k per query over the tiny candidate set
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return df.groupby("query_id", group_keys=False).head(k)[
+            ["query_id", "vec_id"]
+        ].astype("int64")
+
+    return (
+        candidates.groupby("query_id")
+        .map_groups(
+            lambda g: _final(g), batch_format="pandas"
+        )
+        .sort(["query_id", "vec_id"])
+    )
+
+
+def ann_topk_lsh(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate top-k: hyperplane-LSH bucket per vector; each query
+    searches only vectors whose bucket is within Hamming distance 1 of its
+    own (multi-probe). Recall < 1 by design — the scale path when the
+    corpus no longer fits a full scan (rows-only check)."""
+    queries = _query_matrix(sf_dir, list(query_ids))
+    dim = queries.shape[1]
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    q_buckets = ((queries @ planes) > 0) @ (1 << np.arange(n_planes))
+    # multi-probe: query bucket ± each single-bit flip
+    probe_sets = []
+    for qb in q_buckets:
+        probes = {int(qb)}
+        for bit in range(n_planes):
+            probes.add(int(qb) ^ (1 << bit))
+        probe_sets.append(probes)
+    q_ref = ray.put((queries, planes, probe_sets))
+    qids = list(query_ids)
+
+    class BucketTopK:
+        def __init__(self):
+            self.q, self.planes, self.probes = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            unit = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
+            buckets = ((vecs @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
+            ids = batch["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(buckets, list(self.probes[qi]))
+                if not mask.any():
+                    continue
+                sims = unit[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                top = np.argsort(-sims, kind="stable")[:k]
+                for t in top:
+                    out.append((qid, int(sub_ids[t]), float(sims[t])))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+
+    candidates = _embeddings(sf_dir).map_batches(
+        BucketTopK, batch_format="pandas", batch_size=4096, concurrency=2, num_cpus=0.5
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return g.head(k)[["query_id", "vec_id"]].astype("int64")
+
+    return (
+        candidates.groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+        .sort(["query_id", "vec_id"])
+    )
