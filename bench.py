@@ -1,0 +1,211 @@
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the flagship extraction pipeline over a cached
+deterministic synthetic web_pages corpus, and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "extract": {"docs": n, "docs_per_sec": r, "mb_per_sec": r}}
+
+``--scaling``: run the extraction headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox evidence protocol
+for the north rule's N→4N ≥0.8 cluster-scaling criterion) and print both
+throughputs + efficiency = (T8/T32)/4.
+
+Owns its Ray session (the one place outside tests/CLI allowed to init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_N = int(os.environ.get("RIKA_BENCH_CORPUS_N", "600"))
+
+
+def _bench_corpus() -> str:
+    from rika_ray.corpus import write_corpus
+
+    out_dir = f"/tmp/rika_ray_bench_corpus/n{BENCH_CORPUS_N}"
+    if not os.path.exists(os.path.join(out_dir, "web_pages.parquet")):
+        write_corpus(out_dir, n_per_family=BENCH_CORPUS_N, seed=42)
+    return out_dir
+
+
+def _init_ray(ncpu: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _run_extract(in_path: str) -> dict:
+    """Time the full extraction pipeline (sniff→extract→lang→finalize→
+    write_parquet). ``in_path`` is a web_pages parquet file or a directory
+    of part files. Returns timing + throughput."""
+    import glob
+    import shutil
+
+    from rika_ray.pipelines.extraction import (
+        ExtractionConfig,
+        build_extraction_pipeline,
+        read_web_pages,
+    )
+
+    files = (
+        sorted(glob.glob(os.path.join(in_path, "*.parquet")))
+        if os.path.isdir(in_path)
+        else [in_path]
+    )
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    out_dir = "/tmp/rika_ray_bench_out/extracted"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm OS page cache so we measure compute, not first disk read
+    for f_name in files:
+        with open(f_name, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    t0 = time.perf_counter()
+    ds = read_web_pages(files)
+    out = build_extraction_pipeline(ds, ExtractionConfig())
+    out.write_parquet(out_dir)
+    wall = time.perf_counter() - t0
+
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(out_dir).count_rows()
+    return {
+        "sec": round(wall, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(input_bytes / 1e6 / wall, 2),
+    }
+
+
+def _timed_queries(sf_dir: str) -> dict[str, float]:
+    """Time the headline relational / training-data pipelines at sf_dir.
+    Each is consumed with materialize() (full distributed execution)."""
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    names = [
+        "pricing_summary",
+        "top_words",
+        "events_hourly",
+        "orders_per_segment",
+        "dedup_exact_hashed",
+        "doc_token_counts",
+        "quality_scores",
+        "lang_id",
+        "simhash_signatures",
+        "minhash_lsh_pairs",
+        "ann_topk_bruteforce",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](sf_dir).materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+SCALE_REPLICAS = int(os.environ.get("RIKA_SCALE_REPLICAS", "100"))
+
+
+def _scaling_corpus() -> str:
+    from rika_ray.corpus import write_replicated_corpus
+
+    return write_replicated_corpus(
+        f"/tmp/rika_ray_scale_corpus/n{BENCH_CORPUS_N}",
+        n_per_family=BENCH_CORPUS_N,
+        replicas=SCALE_REPLICAS,
+        seed=42,
+    )
+
+
+def run_headline(extract_only: bool = False) -> dict:
+    _init_ray(NCPU)
+    in_path = (
+        _scaling_corpus()
+        if extract_only
+        else f"{_bench_corpus()}/web_pages.parquet"
+    )
+    extract = _run_extract(in_path)
+    queries = {} if extract_only else _timed_queries(SF_DIR)
+    import ray
+
+    ray.shutdown()
+    total = extract["sec"] + sum(queries.values())
+    return {
+        "metric": "headline_pipelines_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"extract_full": extract["sec"], **queries},
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "extract": extract,
+    }
+
+
+def run_scaling() -> dict:
+    """Same extraction job, same input, fresh processes at 8 and 32 CPUs.
+    Uses the replicated multi-file corpus so compute dominates fixed
+    pipeline startup at both parallelism levels."""
+    _scaling_corpus()  # generate once so both runs see identical input
+
+    def _sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = _sub(lo)
+    r_hi = _sub(hi)
+    t_lo = r_lo["extract"]["sec"]
+    t_hi = r_hi["extract"]["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "extract_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["extract"]["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["extract"]["docs_per_sec"],
+        "docs": r_lo["extract"]["docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline(extract_only="--extract-only" in sys.argv)))

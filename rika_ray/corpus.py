@@ -510,7 +510,11 @@ def generate_corpus(
 def write_corpus(
     out_dir: str, n_per_family: int = 3, seed: int = 42
 ) -> dict[str, str]:
-    """Write web_pages.parquet + expected_extractions.parquet to out_dir."""
+    """Write web_pages.parquet + expected_extractions.parquet to out_dir.
+
+    Small row groups (1024 rows) so ``read_parquet`` can split one file
+    into many blocks — a single-row-group file caps read parallelism at 1.
+    """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -519,6 +523,43 @@ def write_corpus(
         "web_pages": os.path.join(out_dir, "web_pages.parquet"),
         "expected": os.path.join(out_dir, "expected_extractions.parquet"),
     }
-    pq.write_table(web_pages, paths["web_pages"])
-    pq.write_table(expected, paths["expected"])
+    pq.write_table(web_pages, paths["web_pages"], row_group_size=1024)
+    pq.write_table(expected, paths["expected"], row_group_size=1024)
     return paths
+
+
+def write_replicated_corpus(
+    out_dir: str,
+    n_per_family: int = 600,
+    replicas: int = 20,
+    seed: int = 42,
+) -> str:
+    """A bench-scale corpus: ``replicas`` parquet files, each the base
+    corpus with urls re-prefixed to stay unique. Many files → natural read
+    parallelism and a realistic multi-shard input layout. Returns the
+    directory of web_pages files."""
+    import os
+
+    pages_dir = os.path.join(out_dir, "web_pages")
+    done_marker = os.path.join(out_dir, f".done-n{n_per_family}-r{replicas}")
+    if os.path.exists(done_marker):
+        return pages_dir
+    os.makedirs(pages_dir, exist_ok=True)
+    web_pages, _ = generate_corpus(n_per_family=n_per_family, seed=seed)
+    urls = web_pages["url"].to_pylist()
+    for r in range(replicas):
+        t = web_pages.set_column(
+            0,
+            "url",
+            pa.array(
+                [u.replace("https://", f"https://r{r:03d}.") for u in urls],
+                pa.string(),
+            ),
+        )
+        pq.write_table(
+            t, os.path.join(pages_dir, f"part-{r:04d}.parquet"),
+            row_group_size=1024,
+        )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return pages_dir

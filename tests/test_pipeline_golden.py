@@ -148,3 +148,20 @@ def test_truncation_zero_suppresses(ray_session, corpus_dir):
             assert r["content"] == ""
         else:
             assert r["content"] is None
+
+
+def test_fused_equals_staged(ray_session, corpus_dir):
+    """The fused hot path must be row-for-row identical to the staged
+    layout (same kernels, different physical plan)."""
+    from rika_ray.pipelines.extraction import ExtractionConfig, build_extraction_pipeline
+
+    def _run(fused: bool):
+        ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+        out = build_extraction_pipeline(ds, ExtractionConfig(fused=fused))
+        rows = out.select_columns(
+            ["url", "content", "content_type", "media_type", "charset",
+             "language", "metadata", "error_type"]
+        ).take_all()
+        return sorted(rows, key=lambda r: (r["url"], r["content"] or ""))
+
+    assert _run(True) == _run(False)
