@@ -81,10 +81,21 @@ def _q_extract_error_tally(sf_dir: str):
     return error_tally(_extract_ds(sf_dir))
 
 
+def _q_image_features(sf_dir: str):
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import image_feature_pipeline
+
+    corpus = _corpus_path(sf_dir)
+    ds = read_web_pages(f"{corpus}/web_pages.parquet")
+    return image_feature_pipeline(ds, target_size=(16, 16)).sort("url")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rika_ray.pipelines import dedup, relational, similarity, text_analysis
 
     return {
+        # --- multimodal plumbing (rows-only: stubbed codec) ---
+        "image_features": _q_image_features,
         # --- extraction pipeline (rows-only: parser semantics, not SQL) ---
         "extract_full": _q_extract_full,
         "extract_media_tally": _q_extract_media_tally,

@@ -193,14 +193,53 @@ def build_extraction_pipeline(
     return ds
 
 
+_NULL_KEY = "\x00<null>"
+
+
+def _tally_by(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Null-safe tally: nulls are sentinel-mapped (Ray's sort-based groupby
+    comparator chokes on None-vs-str keys), counts are pre-aggregated per
+    batch (value_counts) so the shuffle moves (key, partial-count) rows,
+    not the corpus."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch[key].combine_chunks(), _NULL_KEY)
+        vc = filled.value_counts()
+        return pa.table(
+            {
+                key: vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def _unsentinel(batch: pa.Table) -> pa.Table:
+        col = pc.if_else(
+            pc.equal(batch[key], _NULL_KEY),
+            pa.scalar(None, pa.string()),
+            batch[key],
+        )
+        return pa.table({key: col, "count()": batch["count()"]})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("cnt", alias_name="count()"))
+        .map_batches(_unsentinel, batch_format="pyarrow")
+    )
+
+
 def error_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """A1: per-error-type counts (drives job exit status, §2.8; reference
     accumulates bad_targets and exits 1 iff any,
     ``lib/rika/cli/rika_command.rb:94-123``)."""
-    return extracted.groupby("error_type").count()
+    return _tally_by(extracted.select_columns(["error_type"]), "error_type")
 
 
 def media_type_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """A2: content-type distribution sorted by type (the README's flagship
     machine-readable example, ``/root/reference/README.md:233-249``)."""
-    return extracted.groupby("media_type").count().sort("media_type")
+    return _tally_by(
+        extracted.select_columns(["media_type"]), "media_type"
+    ).sort("media_type")

@@ -1,0 +1,243 @@
+"""Multimodal column plumbing (task brief "Multimodal columns" block).
+
+Images/audio/video ride through the engine as opaque ``large_binary``
+columns with typed metadata. The Ray-side plumbing — schemas, actor-pool
+stage signatures, small batch sizes for fat binary rows, output layout —
+is real and tested; the *codec* step is stubbed deterministically because
+the image/audio libraries are not in this container:
+
+- header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
+- pixel/PCM decode uses a clearly-marked deterministic fake
+  (hash-seeded arrays) unless a real decoder (PIL / soundfile) is
+  importable, in which case it is used;
+- resize / feature-extract / frame-sample are REAL numpy math over the
+  decoded arrays (they work identically on fake or real pixels).
+
+Scale notes: decode stages are actor pools with ``batch_size`` sized for
+multi-MB payloads; decoded pixels are emitted as fixed-shape
+``large_list<uint8>`` + shape columns so Arrow keeps them off the Python
+heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rika_ray.stages.image_meta import (
+    ImageParseError,
+    gif_dimensions,
+    jpeg_dimensions,
+    png_dimensions,
+)
+from rika_ray.stages.sniff import sniff_bytes
+
+try:  # real decoder if present (not in this container)
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Deterministic FAKE decode: pixels seeded from the payload hash.
+    Stands in for the codec only — shape/dtype/layout match a real decode
+    (uint8 HxWx3)."""
+    seed = int(pd.util.hash_array(np.asarray([payload], dtype=object))[0]) & 0x7FFFFFFF
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """(pixels HxWx3 uint8, format). Header dims are parsed for real; the
+    pixel decode is the stubbed step (see module docstring)."""
+    media = sniff_bytes(payload[:2048], payload[-4096:])
+    if media == "image/jpeg":
+        w, h = jpeg_dimensions(payload)
+    elif media == "image/png":
+        w, h = png_dimensions(payload)
+    elif media == "image/gif":
+        w, h = gif_dimensions(payload)
+    else:
+        raise ImageParseError(f"not a supported image: {media}")
+    if HAVE_PIL:  # pragma: no cover - not available in this container
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8), media
+    return _fake_pixels(payload, h, w), media
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (pure numpy index math)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+def image_features(pixels: np.ndarray, n_bins: int = 8) -> np.ndarray:
+    """REAL feature vector: per-channel means + a grayscale histogram."""
+    means = pixels.reshape(-1, pixels.shape[-1]).mean(axis=0)
+    gray = pixels.mean(axis=-1)
+    hist, _ = np.histogram(gray, bins=n_bins, range=(0, 256))
+    hist = hist / max(1, gray.size)
+    return np.concatenate([means / 255.0, hist]).astype(np.float32)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: web_pages-shaped batch → decoded image rows
+    (url, height, width, format, pixels, shape). Non-image / corrupt rows
+    get error columns; nothing raises (§2.8)."""
+
+    def __init__(self, target_size: tuple[int, int] | None = None) -> None:
+        self.target_size = target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, heights, widths, formats = [], [], [], []
+        pixel_col, shapes, errors = [], [], []
+        for i in range(len(batch)):
+            payload = batch["html"][i].as_py()
+            url = batch["url"][i].as_py()
+            urls.append(url)
+            try:
+                pixels, media = decode_image(payload or b"")
+                if self.target_size is not None:
+                    pixels = resize_nearest(pixels, *self.target_size)
+                heights.append(pixels.shape[0])
+                widths.append(pixels.shape[1])
+                formats.append(media)
+                pixel_col.append(pixels.reshape(-1))
+                shapes.append(list(pixels.shape))
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — poison rows stay rows
+                heights.append(None)
+                widths.append(None)
+                formats.append(None)
+                pixel_col.append(None)
+                shapes.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "format": pa.array(formats, pa.string()),
+                "pixels": pa.array(
+                    [p.tolist() if p is not None else None for p in pixel_col],
+                    pa.large_list(pa.uint8()),
+                ),
+                "shape": pa.array(shapes, pa.list_(pa.int32())),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decoded image rows → feature vectors
+    (list<float32>), ANN-ready."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for i in range(len(batch)):
+            px = batch["pixels"][i].as_py()
+            shape = batch["shape"][i].as_py()
+            if px is None:
+                feats.append(None)
+                continue
+            pixels = np.asarray(px, dtype=np.uint8).reshape(shape)
+            feats.append(image_features(pixels).tolist())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "embedding": pa.array(feats, pa.list_(pa.float32())),
+                "error": batch["error"],
+            }
+        )
+
+
+def image_feature_pipeline(
+    web_pages: ray.data.Dataset,
+    target_size: tuple[int, int] | None = (32, 32),
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """web_pages → image rows only → decode(+resize) → features.
+
+    batch_size is small (32) because decoded pixel rows are fat; the filter
+    happens BEFORE decode so non-image documents never enter the pool."""
+
+    def _only_images(batch: pa.Table) -> pa.Table:
+        keep = []
+        for i in range(len(batch)):
+            v = batch["html"][i].as_py()
+            keep.append(
+                bool(v)
+                and sniff_bytes(v[:2048], v[-4096:]).startswith("image/")
+            )
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return (
+        web_pages.map_batches(_only_images, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=concurrency,
+            num_cpus=0.5,
+            fn_constructor_kwargs={"target_size": target_size},
+        )
+        .map_batches(
+            ImageFeatureStage,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: stubbed decode + REAL frame sampling
+# ---------------------------------------------------------------------------
+
+
+def decode_audio_stub(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic FAKE PCM decode (1 s of hash-seeded float32 samples).
+    Replace with soundfile/librosa when available."""
+    seed = int(pd.util.hash_array(np.asarray([payload], dtype=object))[0]) & 0x7FFFFFFF
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(sample_rate).astype(np.float32)
+
+
+def frame_sample(
+    pcm: np.ndarray, frame_len: int = 400, hop: int = 160
+) -> np.ndarray:
+    """REAL frame sampling: (n_frames, frame_len) strided windows."""
+    if len(pcm) < frame_len:
+        return pcm[None, :] if len(pcm) else np.empty((0, frame_len), np.float32)
+    n = 1 + (len(pcm) - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n)[:, None]
+    return pcm[idx]
+
+
+class AudioFrameStage:
+    """Actor-pool stage: binary audio rows → per-row frame count + frame
+    energy summary (real math over the stub PCM)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, energies = [], []
+        for i in range(len(batch)):
+            payload = batch["html"][i].as_py() or b""
+            frames = frame_sample(decode_audio_stub(payload))
+            n_frames.append(frames.shape[0])
+            energies.append(float(np.square(frames).mean()) if frames.size else 0.0)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "mean_energy": pa.array(energies, pa.float64()),
+            }
+        )

@@ -1,0 +1,97 @@
+"""CLI end-to-end (SURVEY.md §5.1 "Integration" layer analogue:
+cli_end_to_end_spec.rb): stdout goldens, machine-readable round-trips,
+empty-file continuation, exit codes."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = "/root/repo"
+
+
+def _run_cli(args: list[str], cwd: str = REPO, env_extra: dict | None = None):
+    import os
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "rika_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=cwd,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clidocs")
+    (d / "one.txt").write_text("The quick brown fox jumps over the lazy dog "
+                               "and keeps on running through the field.\n")
+    (d / "two.txt").write_text("Second document with its own words inside.\n")
+    (d / "empty.txt").write_text("")
+    return d
+
+
+def test_no_targets_exit_zero():
+    res = _run_cli([])
+    assert res.returncode == 0
+
+
+def test_dry_run(doc_dir):
+    res = _run_cli(["--dry-run", str(doc_dir / "one.txt")])
+    assert res.returncode == 0
+    assert "target:" in res.stdout and "one.txt" in res.stdout
+
+
+def test_stream_json_output(doc_dir):
+    res = _run_cli(["-f", "jj", str(doc_dir / "one.txt")])
+    assert res.returncode == 0, res.stderr[-500:]
+    parsed = json.loads(res.stdout.strip())
+    assert "quick brown fox" in parsed["text"]
+    assert parsed["metadata"]["Content-Type"].startswith("text/plain")
+    assert parsed["metadata"]["rika:language"] == "en"
+
+
+def test_array_yaml_output(doc_dir):
+    res = _run_cli(
+        ["-f", "yy", "-a", str(doc_dir / "one.txt"), str(doc_dir / "two.txt")]
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    parsed = yaml.safe_load(res.stdout)
+    assert len(parsed) == 2
+
+
+def test_empty_file_continuation_and_exit_code(doc_dir):
+    # empty file is reported, good file still processed, exit 1
+    res = _run_cli(["-f", "jj", str(doc_dir / "one.txt"), str(doc_dir / "empty.txt")])
+    assert res.returncode == 1
+    assert "empty_file" in res.stderr
+    assert "quick brown fox" in res.stdout
+
+
+def test_bad_format_exit_2(doc_dir):
+    res = _run_cli(["-f", "zz", str(doc_dir / "one.txt")])
+    assert res.returncode == 2
+    assert "invalid format" in res.stderr
+
+
+def test_env_options_layering(doc_dir):
+    res = _run_cli(
+        [str(doc_dir / "one.txt")], env_extra={"RIKA_RAY_OPTIONS": "-f jj"}
+    )
+    assert res.returncode == 0
+    json.loads(res.stdout.strip())  # env made it machine-readable
+
+
+def test_max_content_length(doc_dir):
+    res = _run_cli(["-f", "jj", "-l", "9", str(doc_dir / "one.txt")])
+    assert res.returncode == 0
+    assert json.loads(res.stdout.strip())["text"] == "The quick"

@@ -1,0 +1,106 @@
+"""Multimodal plumbing tests: real header parse + resize/feature math,
+deterministic stub decode, Ray pipeline layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rika_ray import docgen
+from rika_ray.pipelines.multimodal import (
+    AudioFrameStage,
+    ImageDecodeStage,
+    decode_audio_stub,
+    decode_image,
+    frame_sample,
+    image_feature_pipeline,
+    image_features,
+    resize_nearest,
+)
+
+
+def test_decode_image_dims_real_pixels_stubbed():
+    jpeg = docgen.build_jpeg(72, 48)
+    pixels, media = decode_image(jpeg)
+    assert media == "image/jpeg"
+    assert pixels.shape == (48, 72, 3) and pixels.dtype == np.uint8
+    # deterministic stub: same payload → same pixels
+    pixels2, _ = decode_image(jpeg)
+    assert (pixels == pixels2).all()
+
+
+def test_decode_rejects_non_image():
+    with pytest.raises(Exception):
+        decode_image(b"plain text, not an image")
+
+
+def test_resize_nearest_shapes():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(px, 2, 3)
+    assert out.shape == (2, 3, 3)
+    assert (resize_nearest(px, 8, 12)[0, 0] == px[0, 0]).all()
+
+
+def test_image_features_shape_and_range():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    f = image_features(px)
+    assert f.shape == (11,) and f.dtype == np.float32
+    assert f[:3].max() == 0.0  # all-black means
+    assert abs(f[3] - 1.0) < 1e-6  # all mass in first histogram bin
+
+
+def test_frame_sampling():
+    pcm = np.arange(1000, dtype=np.float32)
+    frames = frame_sample(pcm, frame_len=400, hop=160)
+    assert frames.shape == (4, 400)
+    assert frames[1, 0] == 160.0
+    assert frame_sample(np.empty(0, np.float32)).shape == (0, 400)
+
+
+def test_audio_stub_deterministic():
+    a = decode_audio_stub(b"payload-bytes")
+    b = decode_audio_stub(b"payload-bytes")
+    c = decode_audio_stub(b"other")
+    assert (a == b).all() and not (a == c).all()
+    assert a.shape == (16000,)
+
+
+def test_image_pipeline_over_corpus(ray_session, corpus_dir):
+    import ray.data
+
+    web_pages = ray.data.read_parquet(f"{corpus_dir}/web_pages.parquet")
+    out = image_feature_pipeline(web_pages, target_size=(16, 16)).take_all()
+    # corpus has jpeg (x2 urls), png, gif rows
+    assert len(out) == 4
+    for r in out:
+        assert r["error"] is None
+        assert len(r["embedding"]) == 11
+
+
+def test_decode_stage_poison_rows(ray_session):
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "html": pa.array(
+                [docgen.build_png(4, 4), b"\x89PNG\r\n\x1a\nGARBAGE"],
+                pa.large_binary(),
+            ),
+        }
+    )
+    out = ImageDecodeStage()(batch)
+    rows = out.to_pylist()
+    assert rows[0]["error"] is None and rows[0]["height"] == 4
+    assert rows[1]["error"] is not None and rows[1]["pixels"] is None
+
+
+def test_audio_stage_batch():
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"url": ["a"], "html": pa.array([b"fakeaudio"], pa.large_binary())}
+    )
+    out = AudioFrameStage()(batch).to_pylist()
+    assert out[0]["n_frames"] == 98
+    assert out[0]["mean_energy"] > 0

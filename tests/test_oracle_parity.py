@@ -40,9 +40,21 @@ def _to_df(result) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+    df = df[sorted(df.columns)].copy()
+    # nested cells (lists/arrays) aren't sortable/hashable — sort on a
+    # stringified shadow key instead
+    sort_keys = []
+    for col in list(df.columns):
+        has_nested = df[col].map(
+            lambda v: isinstance(v, (list, dict)) or hasattr(v, "dtype")
+        ).any()
+        if has_nested:
+            df[f"__sort_{col}"] = df[col].astype(str)
+            sort_keys.append(f"__sort_{col}")
+        else:
+            sort_keys.append(col)
+    df = df.sort_values(sort_keys).reset_index(drop=True)
+    return df[[c for c in df.columns if not c.startswith("__sort_")]]
 
 
 def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
@@ -89,11 +101,12 @@ def test_query_runs_and_matches_oracle(ray_session, con, name):
         sql_df = con.execute(oracles[name]).fetchdf()
         _compare(ray_df, sql_df, name)
     else:
-        # rows-only: deterministic across two runs
+        # rows-only: deterministic across two runs (stringified compare —
+        # handles nested list/array cells)
         ray_df2 = _to_df(q(SF_DIR))
-        pd.testing.assert_frame_equal(
-            _canon(ray_df), _canon(ray_df2), check_dtype=False
-        )
+        a = _canon(ray_df).astype(str)
+        b = _canon(ray_df2).astype(str)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_entry_smoke(ray_session):
