@@ -308,7 +308,8 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         bits = np.unpackbits(
             h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )
-        votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+        # signed accumulation — the uint sum would wrap on the subtraction
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)  # ±1 votes
         sim_bits = (votes > 0).astype(np.uint8)
         out[i] = np.packbits(sim_bits, bitorder="little").view(np.uint64)[0]
     return out
@@ -372,6 +373,7 @@ def embedding_neardup_pairs(
             )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("vec_id")  # canonical vec_a < vec_b pairs
         vecs = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)

@@ -33,24 +33,35 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
 # Tallies (A1/A2 analogues: low-cardinality groupby)
 # ---------------------------------------------------------------------------
 
+def _counted_tally(ds, key: str, alias: str = "n"):
+    """Low-cardinality tally with in-batch partial counts (value_counts in
+    C++), so the groupby shuffle moves (key, partial) rows only."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = batch[key].combine_chunks().value_counts()
+        return pa.table(
+            {key: vc.field("values"), alias: vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key)
+        .aggregate(Sum(alias, alias_name=alias))
+    )
+
+
 
 def source_tally(sf_dir: str) -> ray.data.Dataset:
     """Documents per source — the content-type-tally shape of
     /root/reference/README.md:233-249 over the documents table."""
-    return (
-        _rp(sf_dir, "documents", ["source"])
-        .groupby("source")
-        .aggregate(Count(alias_name="n"))
-        .sort("source")
+    return _counted_tally(_rp(sf_dir, "documents", ["source"]), "source").sort(
+        "source"
     )
 
 
 def lang_claim_tally(sf_dir: str) -> ray.data.Dataset:
-    return (
-        _rp(sf_dir, "documents", ["lang"])
-        .groupby("lang")
-        .aggregate(Count(alias_name="n"))
-        .sort("lang")
+    return _counted_tally(_rp(sf_dir, "documents", ["lang"]), "lang").sort(
+        "lang"
     )
 
 
@@ -113,11 +124,20 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     to 2dp in both engines so the value-hash is stable across summation
     order."""
 
-    def _derive(batch: pa.Table) -> pa.Table:
+    def _partial(batch: pa.Table) -> pa.Table:
+        # in-batch partial aggregation (pyarrow C++ hash agg) — the shuffle
+        # then moves ~6 rows per batch instead of the whole table
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("disc_price", disc_price)
+        batch = batch.append_column("disc_price", disc_price)
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price",
+             "count_order"]
+        )
 
     ds = (
         _rp(
@@ -126,20 +146,24 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
             ["l_returnflag", "l_linestatus", "l_quantity",
              "l_extendedprice", "l_discount"],
         )
-        .map_batches(_derive, batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
 
     def _round(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("sum_disc_price"),
-            "sum_disc_price",
-            pc.round(batch["sum_disc_price"], 2),
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["sum_qty"],
+                "sum_disc_price": pc.round(batch["sum_disc_price"], 2),
+                "count_order": batch["count_order"],
+            }
         )
 
     return ds.map_batches(_round, batch_format="pyarrow").sort(
@@ -148,12 +172,9 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 
 def orders_priority_tally(sf_dir: str) -> ray.data.Dataset:
-    return (
-        _rp(sf_dir, "orders", ["o_orderpriority"])
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n"))
-        .sort("o_orderpriority")
-    )
+    return _counted_tally(
+        _rp(sf_dir, "orders", ["o_orderpriority"]), "o_orderpriority"
+    ).sort("o_orderpriority")
 
 
 # ---------------------------------------------------------------------------
@@ -175,14 +196,20 @@ def orders_per_segment(sf_dir: str) -> ray.data.Dataset:
             self.lookup = ray.get(lookup_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            # lookup + in-batch partial count: the shuffle moves ~5 rows
+            # per batch, not one row per order
             seg = batch["o_custkey"].map(self.lookup)
-            return pd.DataFrame({"c_mktsegment": seg})
+            vc = seg.value_counts()
+            return pd.DataFrame(
+                {"c_mktsegment": vc.index, "n": vc.to_numpy()}
+            )
 
     return (
         _rp(sf_dir, "orders", ["o_custkey"])
-        .map_batches(SegmentJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        .map_batches(SegmentJoin, batch_format="pandas", batch_size=65536,
+                     concurrency=2, num_cpus=0.5)
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .sort("c_mktsegment")
     )
 
@@ -223,16 +250,24 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
 
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
-    def _floor(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
             "window_start", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+        g = batch.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start", "event_type", "n", "sum_value"]
         )
 
     ds = (
         _rp(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(_floor, batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+        )
     )
 
     def _round(batch: pa.Table) -> pa.Table:
@@ -266,9 +301,7 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 def distinct_langs(sf_dir: str) -> ray.data.Dataset:
     """O6-ish set op: distinct claimed language codes."""
-    ds = _rp(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
-        Count(alias_name="n")
-    )
+    ds = _counted_tally(_rp(sf_dir, "documents", ["lang"]), "lang")
     return ds.select_columns(["lang"]).sort("lang")
 
 

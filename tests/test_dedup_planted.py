@@ -1,0 +1,123 @@
+"""Dedup operators on a corpus with PLANTED duplicates — proves the
+operators actually find near-dups (the driver documents table is
+dup-free, so oracle runs only prove plumbing)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rika_ray.pipelines.dedup import (
+    dedup_exact_survivors,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+    verify_jaccard_pairs,
+)
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega river bridge "
+    "stone light water morning path house door step year"
+).split()
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    rng = random.Random(7)
+    texts = []
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(WORDS) for _ in range(60)))
+    # doc 20: near-dup of doc 0 (one word changed)
+    toks = texts[0].split()
+    toks[30] = "changedword"
+    texts.append(" ".join(toks))
+    # doc 21: exact dup of doc 2
+    texts.append(texts[2])
+    # doc 22: near-dup of doc 1 (two words changed)
+    toks = texts[1].split()
+    toks[5], toks[40] = "xx", "yy"
+    texts.append(" ".join(toks))
+
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    # embeddings: 30 random vectors + one near-copy of vector 0
+    rng_np = np.random.RandomState(7)
+    vecs = rng_np.standard_normal((30, 16)).astype(np.float32)
+    near = vecs[0] + rng_np.standard_normal(16).astype(np.float32) * 0.01
+    vecs = np.vstack([vecs, near[None, :]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_minhash_finds_planted_neardups(ray_session, planted_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(planted_dir, threshold=0.5).take_all()
+    }
+    assert (0, 20) in pairs  # one-word edit
+    assert (2, 21) in pairs and pairs[(2, 21)] == 1.0  # exact dup
+    assert (1, 22) in pairs  # two-word edit
+    # no spurious high-estimate pairs between unrelated random docs
+    for (a, b), j in pairs.items():
+        if (a, b) not in {(0, 20), (2, 21), (1, 22)}:
+            assert j < 0.9, ((a, b), j)
+
+
+def test_verified_jaccard_exact_values(ray_session, planted_dir):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verify_jaccard_pairs(planted_dir, threshold=0.5).take_all()
+    }
+    assert got[(2, 21)] == 1.0
+    assert 0.8 < got[(0, 20)] < 1.0  # 3 shingles of 58 affected
+
+
+def test_exact_dedup_removes_only_exact(ray_session, planted_dir):
+    survivors = [r["doc_id"] for r in dedup_exact_survivors(planted_dir).take_all()]
+    assert 21 not in survivors  # exact dup of 2 removed
+    assert 2 in survivors
+    assert 20 in survivors and 22 in survivors  # near-dups kept (exact op)
+    assert len(survivors) == 22
+
+
+def test_simhash_distance_ranks_neardups():
+    a = "the quick brown fox jumps over the lazy dog near the old bridge"
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words about gardens vegetables and sunshine today"
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert simhash64(a) == ha  # deterministic
+
+
+def test_embedding_neardup_finds_planted_pair(ray_session, planted_dir):
+    pairs = embedding_neardup_pairs(planted_dir, threshold=0.95).take_all()
+    assert any(
+        (r["vec_a"], r["vec_b"]) == (0, 30) and r["cosine"] > 0.99
+        for r in pairs
+    )

@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 layer 3.
+
+Robustness invariants: no parser kernel may raise on arbitrary bytes (a
+poison document must become an error row, so the kernels themselves are
+exercised for total-ness here); truncation is a char-counted prefix;
+key-sort and tokenizer invariants hold for arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rika_ray import docgen
+from rika_ray.docgen import normalize_block_text
+from rika_ray.functions.text import content_type_split, tokenize
+from rika_ray.stages.charset import decode_text, detect_charset
+from rika_ray.stages.html_extract import extract_html
+from rika_ray.stages.lang import build_profiles, detect_language
+from rika_ray.stages.sniff import sniff_bytes
+
+SETTINGS = settings(max_examples=60, deadline=None)
+
+
+@SETTINGS
+@given(st.binary(max_size=4096))
+def test_sniffer_total_on_arbitrary_bytes(data):
+    media = sniff_bytes(data[:2048], data[-4096:] if data else data)
+    assert isinstance(media, str) and "/" in media
+
+
+@SETTINGS
+@given(st.binary(max_size=4096))
+def test_charset_detect_and_decode_total(data):
+    cs = detect_charset(data)
+    text, cs2 = decode_text(data)
+    assert cs == cs2
+    assert isinstance(text, str)
+
+
+@SETTINGS
+@given(st.text(max_size=2000))
+def test_html_extractor_total_on_arbitrary_text(text):
+    content, spans, meta = extract_html(text)
+    assert isinstance(content, str)
+    assert len(spans) == len([s for s in content.split("\n") if s]) or content == ""
+
+
+@SETTINGS
+@given(st.text(max_size=500))
+def test_normalize_idempotent(s):
+    once = normalize_block_text(s)
+    assert normalize_block_text(once) == once
+    assert "  " not in once
+
+
+@SETTINGS
+@given(st.text(max_size=500))
+def test_tokenize_invariants(s):
+    toks = tokenize(s)
+    assert all(t == t.lower() and t for t in toks)
+    # re-joining and re-tokenizing is stable
+    assert tokenize(" ".join(toks)) == toks
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_language_detection_total(text):
+    profiles = _PROFILES
+    out = detect_language(text, profiles)
+    assert out is None or (isinstance(out, str) and len(out) == 2)
+
+
+_PROFILES = build_profiles()
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pdf_roundtrip_arbitrary_ascii_lines(lines):
+    """Any printable-ASCII page makes it through the PDF writer+parser
+    byte-identically (escape handling is total)."""
+    from rika_ray.stages.pdf_extract import extract_pdf
+
+    data = docgen.build_pdf([lines])
+    content, spans, _ = extract_pdf(data)
+    assert content == docgen.expected_pdf_content([lines])
+    assert [s["text"] for s in spans] == lines
+
+
+@SETTINGS
+@given(st.text(max_size=100), st.integers(min_value=0, max_value=50))
+def test_truncation_prefix_property(text, n):
+    """The char-slice used by the finalizer is a strict prefix, counted in
+    codepoints (document_processing_spec.rb:88-105 analogue)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array([text], pa.large_string())
+    sliced = pc.utf8_slice_codeunits(arr, 0, n)[0].as_py()
+    assert text.startswith(sliced)
+    assert len(sliced) <= n
+
+
+@SETTINGS
+@given(st.sampled_from(["text/plain", "text/html", "application/pdf"]),
+       st.sampled_from([None, "UTF-8", "ISO-8859-1"]))
+def test_content_type_split_roundtrip(media, charset):
+    full = media if charset is None else f"{media}; charset={charset}"
+    m, c = content_type_split(full)
+    assert m == media and c == charset
+
+
+def test_metadata_key_sort_invariant():
+    """Key-sort invariant (parser_spec.rb:114-126 analogue): pairs sorted
+    iff key_sort, case-insensitively."""
+    import pyarrow as pa
+
+    from rika_ray.stages.finalize import finalize_batch
+
+    base = {
+        "url": ["u"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "media_type": ["text/plain"],
+        "error_type": pa.array([None], pa.string()),
+        "error_message": pa.array([None], pa.string()),
+        "content": pa.array(["x"], pa.large_string()),
+        "content_type": ["text/plain"],
+        "charset": ["UTF-8"],
+        "language": ["en"],
+        "spans": pa.array([[]], type=__import__("rika_ray.schema", fromlist=["SPANS_TYPE"]).SPANS_TYPE),
+        "metadata": pa.array(
+            [[{"key": "Zeta", "value": "1"}, {"key": "alpha", "value": "2"}]],
+            type=__import__("rika_ray.schema", fromlist=["METADATA_TYPE"]).METADATA_TYPE,
+        ),
+    }
+    batch = pa.table(base)
+    sorted_out = finalize_batch(batch, key_sort=True).to_pylist()[0]
+    keys = [p["key"] for p in sorted_out["metadata"]]
+    assert keys == sorted(keys, key=lambda s: (s.lower(), s))
+    unsorted_out = finalize_batch(batch, key_sort=False).to_pylist()[0]
+    keys_u = [p["key"] for p in unsorted_out["metadata"]]
+    assert keys_u[0] == "Zeta"  # original order preserved
