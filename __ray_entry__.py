@@ -28,11 +28,11 @@ def _corpus_path(sf_dir: str) -> str:
     """Deterministic synthetic web_pages corpus cached under /tmp, scaled to
     match the driver's sf tier (the extraction pipeline's input shape is
     fixed by BASELINE.json input_hint, not by the TPC-H tables)."""
-    from rika_ray.corpus import write_corpus
+    from rika_ray.corpus import CORPUS_VERSION, write_corpus
 
     name = os.path.basename(os.path.normpath(sf_dir))
     n = _CORPUS_SCALE.get(name, 3)
-    out_dir = f"/tmp/rika_ray_corpus/{name}-n{n}"
+    out_dir = f"/tmp/rika_ray_corpus/v{CORPUS_VERSION}-{name}-n{n}"
     marker = os.path.join(out_dir, "web_pages.parquet")
     if not os.path.exists(marker):
         write_corpus(out_dir, n_per_family=n, seed=42)

@@ -30,9 +30,9 @@ BENCH_CORPUS_N = int(os.environ.get("RIKA_BENCH_CORPUS_N", "600"))
 
 
 def _bench_corpus() -> str:
-    from rika_ray.corpus import write_corpus
+    from rika_ray.corpus import CORPUS_VERSION, write_corpus
 
-    out_dir = f"/tmp/rika_ray_bench_corpus/n{BENCH_CORPUS_N}"
+    out_dir = f"/tmp/rika_ray_bench_corpus/v{CORPUS_VERSION}-n{BENCH_CORPUS_N}"
     if not os.path.exists(os.path.join(out_dir, "web_pages.parquet")):
         write_corpus(out_dir, n_per_family=BENCH_CORPUS_N, seed=42)
     return out_dir
@@ -131,10 +131,10 @@ SCALE_REPLICAS = int(os.environ.get("RIKA_SCALE_REPLICAS", "100"))
 
 
 def _scaling_corpus() -> str:
-    from rika_ray.corpus import write_replicated_corpus
+    from rika_ray.corpus import CORPUS_VERSION, write_replicated_corpus
 
     return write_replicated_corpus(
-        f"/tmp/rika_ray_scale_corpus/n{BENCH_CORPUS_N}",
+        f"/tmp/rika_ray_scale_corpus/v{CORPUS_VERSION}-n{BENCH_CORPUS_N}",
         n_per_family=BENCH_CORPUS_N,
         replicas=SCALE_REPLICAS,
         seed=42,

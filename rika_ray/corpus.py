@@ -146,6 +146,10 @@ NAV_LINKS = [
 
 BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
+# bump when generated corpus content changes — cache directories under /tmp
+# are keyed by this so stale corpora are never reused
+CORPUS_VERSION = 2
+
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
     words = [rng.choice(pool) for _ in range(n_words)]
@@ -377,6 +381,40 @@ def generate_corpus(
             },
             claimed_lang="en",
         )
+
+    # --- doc: legacy Word binary (real CFB container, Word97 FIB)
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 4))
+        ]
+        payload = docgen.build_doc(paras)
+        b.add(
+            "doc",
+            payload,
+            content=docgen.expected_doc_content(paras),
+            content_type="application/msword",
+            media_type="application/msword",
+            charset=None,
+            language="en",
+            claimed_lang="en",
+        )
+
+    # --- ole2 container with no WordDocument stream → empty content
+    bare_ole = docgen.build_doc(["x"])
+    # corrupt the directory name so the WordDocument stream isn't found
+    bare_ole = bare_ole.replace(
+        "WordDocument".encode("utf-16-le"), "SomethingElse".encode("utf-16-le")
+    )
+    b.add(
+        "ole2-bare",
+        bare_ole,
+        content="",
+        content_type="application/x-ole-storage",
+        media_type="application/x-ole-storage",
+        charset=None,
+        language=None,
+    )
 
     # --- images: jpeg (incl. "extension-less" URL), png, gif
     jpeg = docgen.build_jpeg(72, 72)

@@ -208,6 +208,90 @@ def expected_docx_content(paragraphs: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Legacy binary DOC (real CFB container + Word97 FibBase)
+# ---------------------------------------------------------------------------
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FATSECT = 0xFFFFFFFD
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+
+
+def _cfb_dir_entry(
+    name: str, obj_type: int, start_sector: int, size: int
+) -> bytes:
+    raw_name = name.encode("utf-16-le") + b"\x00\x00"
+    entry = bytearray(128)
+    entry[0 : len(raw_name)] = raw_name
+    struct.pack_into("<H", entry, 64, len(raw_name))
+    entry[66] = obj_type  # 5=root storage, 2=stream
+    entry[67] = 1  # color: black
+    struct.pack_into("<iii", entry, 68, -1, -1, -1)  # left/right/child sids
+    struct.pack_into("<I", entry, 116, start_sector)
+    struct.pack_into("<Q", entry, 120, size)
+    return bytes(entry)
+
+
+def build_doc(paragraphs: list[str]) -> bytes:
+    """A legacy .doc: real CFB container (512-byte sectors, FAT, directory)
+    holding one ``WordDocument`` stream with a Word97 FibBase whose
+    ``fcMin``/``fcMac`` (FibBase offsets 0x18/0x1C) bound a linear cp1252
+    text region — the simple-save layout (no piece table). Paragraph marks
+    are ``\\r`` as in Word."""
+    text = "".join(p + "\r" for p in paragraphs)
+    text_bytes = text.encode("cp1252", errors="replace")
+    fc_min = 1024
+    stream = bytearray(max(4096, fc_min + len(text_bytes)))  # ≥ minifat cutoff
+    struct.pack_into("<H", stream, 0, 0xA5EC)  # wIdent: Word binary magic
+    struct.pack_into("<H", stream, 2, 0x00C1)  # nFib: Word97
+    struct.pack_into("<I", stream, 24, fc_min)  # fcMin
+    struct.pack_into("<I", stream, 28, fc_min + len(text_bytes))  # fcMac
+    stream[fc_min : fc_min + len(text_bytes)] = text_bytes
+
+    sector = 512
+    n_stream_sectors = (len(stream) + sector - 1) // sector
+    stream += b"\x00" * (n_stream_sectors * sector - len(stream))
+    # sector map: 0=FAT, 1=directory, 2..=WordDocument stream
+    fat = [_FATSECT, _ENDOFCHAIN]
+    for i in range(n_stream_sectors):
+        fat.append(2 + i + 1 if i < n_stream_sectors - 1 else _ENDOFCHAIN)
+    fat += [_FREESECT] * (sector // 4 - len(fat))
+
+    directory = (
+        _cfb_dir_entry("Root Entry", 5, _ENDOFCHAIN, 0)
+        + _cfb_dir_entry("WordDocument", 2, 2, len(stream))
+        + b"\x00" * 256
+    )
+
+    header = bytearray(512)
+    header[0:8] = _CFB_MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)  # minor version
+    struct.pack_into("<H", header, 26, 3)  # major version 3
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)  # sector shift: 512
+    struct.pack_into("<H", header, 32, 6)  # mini sector shift
+    struct.pack_into("<I", header, 44, 1)  # number of FAT sectors
+    struct.pack_into("<I", header, 48, 1)  # first directory sector
+    struct.pack_into("<I", header, 56, 4096)  # mini stream cutoff
+    struct.pack_into("<I", header, 60, _ENDOFCHAIN)  # first miniFAT sector
+    struct.pack_into("<I", header, 64, 0)  # number of miniFAT sectors
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # first DIFAT sector
+    struct.pack_into("<I", header, 72, 0)  # number of DIFAT sectors
+    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] = FAT at sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
+
+    fat_bytes = b"".join(struct.pack("<I", v) for v in fat)
+    return bytes(header) + fat_bytes + directory + bytes(stream)
+
+
+def expected_doc_content(paragraphs: list[str]) -> str:
+    """Normative DOC text layout: Word's \\r paragraph marks normalized to
+    newline-terminated paragraphs (same shape as DOCX)."""
+    return "".join(p + "\n" for p in paragraphs)
+
+
+# ---------------------------------------------------------------------------
 # HTML page builder (boilerplate + planted main content)
 # ---------------------------------------------------------------------------
 

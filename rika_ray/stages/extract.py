@@ -27,8 +27,16 @@ from rika_ray.stages import charset as charset_mod
 from rika_ray.stages import sniff as sniff_mod
 from rika_ray.stages.html_extract import extract_html
 from rika_ray.stages.image_meta import extract_image
-from rika_ray.stages.office import extract_docx
+from rika_ray.stages.office import (
+    OfficeParseError,
+    extract_doc,
+    extract_docx,
+    extract_pptx,
+    extract_xlsx,
+)
 from rika_ray.stages.pdf_extract import extract_pdf
+
+MSWORD = "application/msword"
 
 _TEXTUAL = {sniff_mod.PLAIN, sniff_mod.XML}
 _IMAGES = {sniff_mod.JPEG, sniff_mod.PNG, sniff_mod.GIF}
@@ -58,6 +66,9 @@ class ExtractStage:
             sniff_mod.HTML: self._do_html,
             sniff_mod.PDF: self._do_pdf,
             sniff_mod.DOCX: self._do_docx,
+            sniff_mod.XLSX: self._do_xlsx,
+            sniff_mod.PPTX: self._do_pptx,
+            sniff_mod.OLE2: self._do_ole2,
             **{m: self._do_text for m in _TEXTUAL},
             **{m: self._do_image for m in _IMAGES},
         }
@@ -80,6 +91,24 @@ class ExtractStage:
     def _do_docx(self, data: bytes, media: str):
         content, spans, meta = extract_docx(data)
         return content, media, None, spans, meta
+
+    def _do_xlsx(self, data: bytes, media: str):
+        content, spans, meta = extract_xlsx(data)
+        return content, media, None, spans, meta
+
+    def _do_pptx(self, data: bytes, media: str):
+        content, spans, meta = extract_pptx(data)
+        return content, media, None, spans, meta
+
+    def _do_ole2(self, data: bytes, media: str):
+        # container sniff says OLE2; refine to application/msword when a
+        # WordDocument stream parses (Tika-style container inspection),
+        # else fall back to empty content with the container type
+        try:
+            content, spans, meta = extract_doc(data)
+            return content, MSWORD, None, spans, meta
+        except OfficeParseError:
+            return "", media, None, [], {}
 
     def _do_image(self, data: bytes, media: str):
         content, spans, meta = extract_image(data, media)
@@ -128,8 +157,20 @@ class ExtractStage:
                 {"key": k, "value": v} for k, v in meta.items()
             ]
 
+        # refine media_type from the extraction result (container
+        # inspection can narrow the sniffed type, e.g. OLE2 → msword)
+        media_refined = media_col.to_pylist()
+        for i in range(n):
+            if err_t[i] is None and ctypes[i]:
+                media_refined[i] = ctypes[i].split(";", 1)[0]
+
         out = batch.drop_columns(
             [c for c in ("html", "text", "lang") if c in batch.column_names]
+        )
+        out = out.set_column(
+            out.schema.get_field_index("media_type"),
+            "media_type",
+            pa.array(media_refined, pa.string()),
         )
         out = out.set_column(
             out.schema.get_field_index("error_type"),

@@ -6,10 +6,16 @@ via Tika's POI-backed parsers
 
 Here: DOCX (OOXML ZIP) is parsed for real — unzip ``word/document.xml``,
 walk ``w:p``/``w:t`` runs, read ``docProps/core.xml`` (title/creator) and
-``docProps/app.xml`` (page count). Legacy binary DOC (OLE2) is detected
-(magic ``D0CF11E0``) but text extraction is out of scope for the synthetic
-web corpus — such rows get ``content=""`` with the container media type,
-mirroring the unknown-binary fallback semantics.
+``docProps/app.xml`` (page count).
+
+Legacy binary DOC is parsed with a from-scratch minimal CFB (Compound File
+Binary / OLE2) reader: header → FAT via the header DIFAT → directory chain
+→ ``WordDocument`` stream → Word97 FibBase (``wIdent`` 0xA5EC; ``fcMin``/
+``fcMac`` at FibBase offsets 0x18/0x1C) → linear text region. Scope is the
+simple-save layout (contiguous text, cp1252 / UTF-16 by ``fcMac`` parity
+heuristic) — complex piece-table documents raise ``OfficeParseError`` and
+become error rows; an OLE2 container *without* a WordDocument stream falls
+back to empty content with the container media type.
 
 Extraction spec: each paragraph's text, newline-terminated
 (``docgen.expected_docx_content``).
@@ -25,6 +31,173 @@ from io import BytesIO
 
 class OfficeParseError(Exception):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Minimal CFB (OLE2 compound file) reader
+# ---------------------------------------------------------------------------
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_MAX_CHAIN = 1 << 20
+
+
+class CfbFile:
+    """Read-only minimal CFB: FAT from the header DIFAT (first 109
+    entries), directory chain, per-stream sector chains. Covers files whose
+    DIFAT fits the header (≤ ~7 MB FAT coverage) — enough for documents."""
+
+    def __init__(self, data: bytes) -> None:
+        import struct
+
+        if not data.startswith(_CFB_MAGIC) or len(data) < 512:
+            raise OfficeParseError("not a CFB file")
+        self.data = data
+        (self.sector_shift,) = struct.unpack_from("<H", data, 30)
+        if not 7 <= self.sector_shift <= 12:
+            raise OfficeParseError(f"bad sector shift {self.sector_shift}")
+        self.sector_size = 1 << self.sector_shift
+        (n_fat,) = struct.unpack_from("<I", data, 44)
+        (self.first_dir,) = struct.unpack_from("<I", data, 48)
+        fat_sectors = []
+        for i in range(min(109, n_fat)):
+            (sid,) = struct.unpack_from("<I", data, 76 + 4 * i)
+            if sid < 0xFFFFFFFA:
+                fat_sectors.append(sid)
+        self.fat: list[int] = []
+        for sid in fat_sectors:
+            raw = self._sector(sid)
+            self.fat.extend(
+                struct.unpack(f"<{len(raw) // 4}I", raw)
+            )
+        if not self.fat:
+            raise OfficeParseError("empty FAT")
+
+    def _sector(self, sid: int) -> bytes:
+        start = 512 + sid * self.sector_size
+        if start + self.sector_size > len(self.data):
+            raise OfficeParseError(f"sector {sid} out of range")
+        return self.data[start : start + self.sector_size]
+
+    def _chain(self, start: int) -> bytes:
+        out = []
+        sid = start
+        seen = 0
+        while sid != _ENDOFCHAIN:
+            if sid >= len(self.fat) or seen > _MAX_CHAIN:
+                raise OfficeParseError("broken FAT chain")
+            out.append(self._sector(sid))
+            sid = self.fat[sid]
+            seen += 1
+        return b"".join(out)
+
+    def streams(self) -> dict[str, bytes]:
+        """Directory walk → {stream name: bytes} (storage tree flattened)."""
+        import struct
+
+        directory = self._chain(self.first_dir)
+        out: dict[str, bytes] = {}
+        for off in range(0, len(directory) - 127, 128):
+            entry = directory[off : off + 128]
+            (name_len,) = struct.unpack_from("<H", entry, 64)
+            if name_len < 2 or name_len > 64:
+                continue
+            name = entry[: name_len - 2].decode("utf-16-le", errors="replace")
+            obj_type = entry[66]
+            (start,) = struct.unpack_from("<I", entry, 116)
+            (size,) = struct.unpack_from("<Q", entry, 120)
+            if obj_type == 2 and size > 0:  # stream
+                out[name] = self._chain(start)[:size]
+        return out
+
+
+def extract_xlsx(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
+    """Spreadsheet text: shared strings in document order, one per line."""
+    try:
+        zf = zipfile.ZipFile(BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise OfficeParseError(f"bad zip: {e}") from None
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return "", [], {}
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except ET.ParseError as e:
+        raise OfficeParseError(f"bad sharedStrings.xml: {e}") from None
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    cells = ["".join(t.text or "" for t in si.iter(f"{ns}t"))
+             for si in root.iter(f"{ns}si")]
+    spans = [
+        {"page": 0, "order": i, "kind": "cell", "text": t}
+        for i, t in enumerate(cells)
+    ]
+    return "".join(t + "\n" for t in cells), spans, {}
+
+
+def extract_pptx(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
+    """Presentation text: ``a:t`` runs per slide, slide order by number."""
+    import re as _re
+
+    try:
+        zf = zipfile.ZipFile(BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise OfficeParseError(f"bad zip: {e}") from None
+    ns = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+    slide_names = sorted(
+        (n for n in zf.namelist()
+         if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+    )
+    lines: list[str] = []
+    spans: list[dict] = []
+    for page, name in enumerate(slide_names):
+        try:
+            root = ET.fromstring(zf.read(name))
+        except ET.ParseError:
+            continue
+        for order, t in enumerate(root.iter(f"{ns}t")):
+            txt = t.text or ""
+            spans.append(
+                {"page": page, "order": order, "kind": "run", "text": txt}
+            )
+            lines.append(txt)
+    return "".join(t + "\n" for t in lines), spans, {}
+
+
+def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
+    """(content, spans, metadata) from legacy Word binary bytes.
+
+    Raises OfficeParseError when the container has no WordDocument stream
+    (caller falls back to opaque OLE2 handling) or when the FIB is not the
+    simple linear layout this parser covers."""
+    streams = CfbFile(data).streams()
+    if "WordDocument" not in streams:
+        raise OfficeParseError("no WordDocument stream")
+    wd = streams["WordDocument"]
+    if len(wd) < 32:
+        raise OfficeParseError("WordDocument stream too short")
+    import struct
+
+    (w_ident,) = struct.unpack_from("<H", wd, 0)
+    if w_ident != 0xA5EC:
+        raise OfficeParseError(f"bad FIB wIdent 0x{w_ident:04X}")
+    (fc_min,) = struct.unpack_from("<I", wd, 24)
+    (fc_mac,) = struct.unpack_from("<I", wd, 28)
+    if not (32 <= fc_min <= fc_mac <= len(wd)):
+        raise OfficeParseError("FIB text range out of bounds")
+    raw = wd[fc_min:fc_mac]
+    # simple-save heuristic: UTF-16 text regions have even length and
+    # abundant NUL high bytes; cp1252 otherwise
+    if len(raw) % 2 == 0 and raw[1::2].count(0) > len(raw) // 4:
+        text = raw.decode("utf-16-le", errors="replace")
+    else:
+        text = raw.decode("cp1252", errors="replace")
+    paragraphs = [p for p in text.split("\r") if p != ""]
+    spans = [
+        {"page": 0, "order": i, "kind": "p", "text": p}
+        for i, p in enumerate(paragraphs)
+    ]
+    content = "".join(p + "\n" for p in paragraphs)
+    return content, spans, {}
 
 
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"

@@ -151,3 +151,56 @@ def test_image_metadata_shape():
 def test_image_corrupt_raises():
     with pytest.raises(ImageParseError):
         jpeg_dimensions(b"\xff\xd8\xff\xe0 but then truncated")
+
+
+# --- DOC / CFB (M6 legacy path) ---
+
+def test_doc_cfb_roundtrip():
+    from rika_ray.stages.office import CfbFile, extract_doc
+
+    paras = ["First legacy paragraph.", "Second one with more words."]
+    data = docgen.build_doc(paras)
+    # container level: the CFB reader finds the stream
+    streams = CfbFile(data).streams()
+    assert "WordDocument" in streams
+    content, spans, meta = extract_doc(data)
+    assert content == docgen.expected_doc_content(paras)
+    assert [s["text"] for s in spans] == paras
+
+
+def test_doc_corrupt_rejected():
+    from rika_ray.stages.office import OfficeParseError, extract_doc
+
+    with pytest.raises(OfficeParseError):
+        extract_doc(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600)
+    with pytest.raises(OfficeParseError):
+        extract_doc(b"not cfb at all")
+
+
+def test_xlsx_pptx_extraction():
+    import zipfile
+    from io import BytesIO
+    from rika_ray.stages.office import extract_pptx, extract_xlsx
+
+    # minimal xlsx: sharedStrings only
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml",
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<si><t>Cell one</t></si><si><t>Cell two</t></si></sst>')
+        zf.writestr("[Content_Types].xml", "<Types/>")
+    content, spans, _ = extract_xlsx(buf.getvalue())
+    assert content == "Cell one\nCell two\n"
+    assert len(spans) == 2
+
+    buf2 = BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("ppt/slides/slide2.xml",
+            '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+            'xmlns:p="x"><a:t>Late slide</a:t></p:sld>')
+        zf.writestr("ppt/slides/slide1.xml",
+            '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+            'xmlns:p="x"><a:t>Title text</a:t></p:sld>')
+    content, spans, _ = extract_pptx(buf2.getvalue())
+    assert content == "Title text\nLate slide\n"  # slide-number order
+    assert spans[0]["page"] == 0 and spans[1]["page"] == 1
