@@ -44,6 +44,10 @@ class ExtractionConfig:
     lang_batch_size: int = 512
     route_mega_docs: bool = False  # two-branch skew routing
     mega_doc_bytes: int = 4 * 1024 * 1024
+    # §2.9 user-extension hook: callable bytes->media_type replacing the
+    # built-in magic-byte sniffer (Rika.parse detector: analogue). Must be
+    # a picklable top-level callable (ships to workers).
+    detector: object | None = None
     # Physical fusion of the hot path: one actor pool runs
     # sniff→extract→lang→finalize in-process per batch. Same per-row
     # semantics (the logical stages stay separately testable), but 1 object
@@ -58,7 +62,12 @@ class FusedExtractStage:
     per-row semantics identical to the staged pipeline — parity is enforced
     by a dedicated test)."""
 
-    def __init__(self, max_content_length: int = -1, key_sort: bool = True):
+    def __init__(
+        self,
+        max_content_length: int = -1,
+        key_sort: bool = True,
+        detector=None,
+    ):
         from rika_ray.stages.extract import ExtractStage
         from rika_ray.stages.finalize import finalize_batch
         from rika_ray.stages.lang import LangDetectStage
@@ -68,9 +77,10 @@ class FusedExtractStage:
         self._finalize = finalize_batch
         self._max_len = max_content_length
         self._key_sort = key_sort
+        self._detector = detector
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = detect_content_type(batch)
+        batch = detect_content_type(batch, detector=self._detector)
         batch = self._extract(batch)
         batch = self._lang(batch)
         return self._finalize(
@@ -114,12 +124,15 @@ def build_extraction_pipeline(
             fn_constructor_kwargs={
                 "max_content_length": cfg.max_content_length,
                 "key_sort": cfg.key_sort,
+                "detector": cfg.detector,
             },
         )
         if ncpu >= 4:
             return ds.map_batches(FusedExtractStage, concurrency=pool, **kwargs)
         # tiny cluster: same fused kernel as stateless tasks
-        fused = FusedExtractStage(cfg.max_content_length, cfg.key_sort)
+        fused = FusedExtractStage(
+            cfg.max_content_length, cfg.key_sort, cfg.detector
+        )
 
         def _fused_task(batch: pa.Table) -> pa.Table:
             return fused(batch)
@@ -143,6 +156,7 @@ def build_extraction_pipeline(
         detect_content_type,
         batch_format="pyarrow",
         batch_size=cfg.sniff_batch_size,
+        fn_kwargs={"detector": cfg.detector} if cfg.detector else {},
     )
 
     from rika_ray.stages.extract import extract_batch_task

@@ -98,9 +98,15 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
     return PLAIN
 
 
-def detect_content_type(batch: pa.Table) -> pa.Table:
+def detect_content_type(batch: pa.Table, detector=None) -> pa.Table:
     """map_batches kernel: web_pages batch → + media_type, error_type,
     error_message columns. Never raises (§2.8 error-as-data).
+
+    ``detector`` is the user-extension hook (SURVEY.md §2.9): a callable
+    ``bytes -> media_type`` replacing the built-in magic-byte table — the
+    scale analogue of ``Rika.parse(..., detector: MyDetector)``
+    (``/root/reference/lib/rika.rb:43-46``). A detector that raises or
+    returns a falsy value falls back to the built-in sniff for that row.
     """
     html_col = batch["html"]
     n = len(batch)
@@ -113,7 +119,13 @@ def detect_content_type(batch: pa.Table) -> pa.Table:
             err_t[i] = "empty_file"
             err_m[i] = "zero-length document payload"
             continue
-        media[i] = sniff_bytes(v[:_SNIFF_PREFIX], v[-_SNIFF_SUFFIX:])
+        detected = None
+        if detector is not None:
+            try:
+                detected = detector(v)
+            except Exception:
+                detected = None
+        media[i] = detected or sniff_bytes(v[:_SNIFF_PREFIX], v[-_SNIFF_SUFFIX:])
     return (
         batch.append_column("media_type", pa.array(media, pa.string()))
         .append_column("error_type", pa.array(err_t, pa.string()))

@@ -165,3 +165,43 @@ def test_fused_equals_staged(ray_session, corpus_dir):
         return sorted(rows, key=lambda r: (r["url"], r["content"] or ""))
 
     assert _run(True) == _run(False)
+
+
+def test_custom_detector_injection(ray_session, corpus_dir):
+    """§2.9 hook: a user detector replaces the magic-byte sniffer
+    (Rika.parse detector: analogue) — with an all-opaque detector every
+    non-error row extracts as empty binary. The detector is a closure so
+    cloudpickle ships it by value (test modules aren't importable from Ray
+    workers — a module-level function here crash-loops the actor pool)."""
+    from rika_ray.pipelines.extraction import ExtractionConfig, build_extraction_pipeline
+
+    def _octet_detector(payload: bytes):
+        return "application/octet-stream"
+
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    rows = build_extraction_pipeline(
+        ds, ExtractionConfig(detector=_octet_detector)
+    ).select_columns(["url", "content", "media_type", "error_type"]).take_all()
+    for r in rows:
+        if r["error_type"] is None:
+            assert r["media_type"] == "application/octet-stream"
+            assert r["content"] == ""
+        else:
+            assert r["error_type"] == "empty_file"  # no parse errors now
+
+
+def test_mega_doc_routing_parity(ray_session, corpus_dir):
+    """route_mega_docs: the two-branch skew layout must produce the same
+    rows as the single-path layout."""
+    from rika_ray.pipelines.extraction import ExtractionConfig, build_extraction_pipeline
+
+    def _run(**kw):
+        ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+        rows = build_extraction_pipeline(ds, ExtractionConfig(**kw)).select_columns(
+            ["url", "content", "media_type", "language", "error_type"]
+        ).take_all()
+        return sorted(rows, key=lambda r: (r["url"], r["content"] or ""))
+
+    routed = _run(route_mega_docs=True, mega_doc_bytes=1 << 20, fused=False)
+    plain = _run(fused=False)
+    assert routed == plain
