@@ -127,14 +127,14 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-SCALE_REPLICAS = int(os.environ.get("RIKA_SCALE_REPLICAS", "100"))
+SCALE_REPLICAS = int(os.environ.get("RIKA_SCALE_REPLICAS", "200"))
 
 
 def _scaling_corpus() -> str:
     from rika_ray.corpus import CORPUS_VERSION, write_replicated_corpus
 
     return write_replicated_corpus(
-        f"/tmp/rika_ray_scale_corpus/v{CORPUS_VERSION}-n{BENCH_CORPUS_N}",
+        f"/tmp/rika_ray_scale_corpus/v{CORPUS_VERSION}-n{BENCH_CORPUS_N}-r{SCALE_REPLICAS}",
         n_per_family=BENCH_CORPUS_N,
         replicas=SCALE_REPLICAS,
         seed=42,
@@ -183,7 +183,8 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("RIKA_SCALE_CPUS_LO", "8"))
+    hi = int(os.environ.get("RIKA_SCALE_CPUS_HI", "32"))
     r_lo = _sub(lo)
     r_hi = _sub(hi)
     t_lo = r_lo["extract"]["sec"]

@@ -388,10 +388,21 @@ def embedding_neardup_pairs(
             }
         )
 
-    return (
+    pairs = (
         emb.map_batches(BucketStage, batch_format="pandas", batch_size=1024,
                         concurrency=2, num_cpus=0.5)
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pandas")
-        .sort(["vec_a", "vec_b"])
     )
+    # union with a typed empty table so a zero-pair corpus still yields a
+    # stable (vec_a, vec_b, cosine) schema
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return empty.union(pairs).sort(["vec_a", "vec_b"])

@@ -117,7 +117,11 @@ def build_extraction_pipeline(
     if cfg.fused and not cfg.route_mega_docs:
         pool = cfg.extract_concurrency
         if pool is None:
-            pool = max(1, ncpu - 2)
+            # constant worker fraction (3/4 of slots; rest for read/write
+            # tasks): keeps utilization proportional across cluster sizes,
+            # which both avoids task starvation and makes N-vs-4N scaling
+            # comparisons apples-to-apples
+            pool = max(1, (ncpu * 3) // 4)
         kwargs = dict(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
@@ -210,7 +214,9 @@ def build_extraction_pipeline(
 _NULL_KEY = "\x00<null>"
 
 
-def _tally_by(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+def _tally_by(
+    ds: ray.data.Dataset, key: str, sort: bool = False
+) -> ray.data.Dataset:
     """Null-safe tally: nulls are sentinel-mapped (Ray's sort-based groupby
     comparator chokes on None-vs-str keys), counts are pre-aggregated per
     batch (value_counts) so the shuffle moves (key, partial-count) rows,
@@ -236,12 +242,16 @@ def _tally_by(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
         )
         return pa.table({key: col, "count()": batch["count()"]})
 
-    return (
+    out = (
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(key)
         .aggregate(Sum("cnt", alias_name="count()"))
-        .map_batches(_unsentinel, batch_format="pyarrow")
     )
+    if sort:
+        # sort happens while keys still carry the sentinel (sorting a
+        # nullable string column crashes Ray's comparator on None-vs-str)
+        out = out.sort(key)
+    return out.map_batches(_unsentinel, batch_format="pyarrow")
 
 
 def error_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
@@ -255,5 +265,5 @@ def media_type_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """A2: content-type distribution sorted by type (the README's flagship
     machine-readable example, ``/root/reference/README.md:233-249``)."""
     return _tally_by(
-        extracted.select_columns(["media_type"]), "media_type"
-    ).sort("media_type")
+        extracted.select_columns(["media_type"]), "media_type", sort=True
+    )

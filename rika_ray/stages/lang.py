@@ -7,8 +7,8 @@ code from the extracted content of every document
 ``spec/rika/parser_spec.rb:252-259``; the ``lang_cant_be_determined.txt``
 fixture shows the undetermined path).
 
-This is a from-scratch Cavnar–Trenkle character-n-gram rank-profile
-classifier. Language profiles are built from embedded seed text (authored
+This is a from-scratch character-trigram multinomial naive-Bayes
+classifier (add-one smoothing, compiled log-prob matrix). Language profiles are built from embedded seed text (authored
 paragraphs + per-language function-word inventories — the same signal real
 n-gram detectors rely on). The profile build happens in ``__init__`` of the
 actor-pool callable, i.e. once per worker — exactly the once-per-process
@@ -26,7 +26,6 @@ from collections import Counter
 import pyarrow as pa
 
 MIN_CHARS = 24
-_PROFILE_SIZE = 400
 _DETECT_PREFIX = 400  # chars of content used for detection (the original
 # Cavnar-Trenkle evaluation used ~300-byte samples; 400 chars keeps accuracy
 # on the fixture corpus while capping per-doc cost)
@@ -87,99 +86,87 @@ _SEED_TEXT = {
 _CLEAN_RE = re.compile(r"[\W\d_]+", re.UNICODE)
 
 
-def _ngram_counts(text: str, max_chars: int | None = None) -> Counter:
-    """Char 1-3-gram counts over the letters-only, space-normalized text.
-    Word boundaries appear as spaces inside grams (equivalent signal to
-    Cavnar-Trenkle per-word padding, computed in one C-speed regex pass
-    instead of a per-character Python loop)."""
+def _trigram_counts(text: str, max_chars: int | None = None) -> Counter:
+    """Char trigram counts over the letters-only, space-normalized text.
+    Word boundaries appear as spaces inside grams, computed in one C-speed
+    regex pass instead of a per-character Python loop."""
     if max_chars is not None:
         text = text[:max_chars]
     cleaned = " " + _CLEAN_RE.sub(" ", text.lower()).strip() + " "
-    counts: Counter = Counter()
     L = len(cleaned)
-    for n in (1, 2, 3):
-        counts.update(cleaned[i : i + n] for i in range(L - n + 1))
-    return counts
+    return Counter(cleaned[i : i + 3] for i in range(max(0, L - 2)))
 
 
-def _rank_profile(counts: Counter, size: int = _PROFILE_SIZE) -> dict[str, int]:
-    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
-    return {gram: rank for rank, (gram, _) in enumerate(top)}
-
-
-def build_profiles(
-    extra_seed: dict[str, str] | None = None,
-) -> dict[str, dict[str, int]]:
-    """Language → rank profile. Seed = authored paragraph + function words."""
+def build_profiles(extra_seed: dict[str, str] | None = None) -> "NBClassifier":
+    """Compiled language classifier. Seed = authored paragraph +
+    function-word inventory per language (the same signal real n-gram
+    detectors rely on)."""
     from rika_ray.corpus import WORD_POOL
 
-    profiles = {}
     seeds = dict(_SEED_TEXT)
     if extra_seed:
         for k, v in extra_seed.items():
             seeds[k] = seeds.get(k, "") + " " + v
-    for lang_code, seed in seeds.items():
-        text = seed
+    for lang_code in list(seeds):
         if lang_code in WORD_POOL:
             # function words are the strongest n-gram signal; weight them in
-            text += " " + " ".join(WORD_POOL[lang_code]) * 3
-        profiles[lang_code] = _rank_profile(_ngram_counts(text))
-    return profiles
+            seeds[lang_code] += " " + " ".join(WORD_POOL[lang_code]) * 3
+    return NBClassifier(seeds)
 
 
-class _CompiledProfiles:
-    """Language profiles compiled for vectorized out-of-place distance:
-    one shared gram→id vocab and an (n_vocab, n_langs) rank matrix; a miss
-    costs _PROFILE_SIZE for every language. One numpy reduction per doc
-    instead of n_langs × n_grams dict lookups."""
+class NBClassifier:
+    """Multinomial naive-Bayes over char trigrams, compiled to a shared
+    gram→id vocab + (n_vocab, n_langs) float32 log-prob matrix with a
+    per-language unseen-gram floor. Detection is one Counter pass + one
+    numpy matmul per document — no per-doc sorting (the fast path that
+    replaced the Cavnar-Trenkle rank-profile distance; predictions on the
+    5-language fixture corpus are identical and test-enforced)."""
 
-    def __init__(self, profiles: dict[str, dict[str, int]]) -> None:
+    def __init__(self, seed_texts: dict[str, str]) -> None:
         import numpy as np
 
-        self.langs = sorted(profiles)
+        self.langs = sorted(seed_texts)
+        per_lang_counts = {
+            lang: _trigram_counts(seed_texts[lang]) for lang in self.langs
+        }
         vocab: dict[str, int] = {}
-        for lang_code in self.langs:
-            for gram in profiles[lang_code]:
+        for lang in self.langs:
+            for gram in per_lang_counts[lang]:
                 vocab.setdefault(gram, len(vocab))
         self.vocab = vocab
-        self.ranks = np.full(
-            (len(vocab), len(self.langs)), _PROFILE_SIZE, dtype=np.int32
-        )
-        for li, lang_code in enumerate(self.langs):
-            for gram, rank in profiles[lang_code].items():
-                self.ranks[vocab[gram], li] = rank
+        v_size = len(vocab) + 1
+        self.logp = np.empty((len(vocab), len(self.langs)), dtype=np.float32)
+        self.floor = np.empty(len(self.langs), dtype=np.float32)
+        for li, lang in enumerate(self.langs):
+            counts = per_lang_counts[lang]
+            total = sum(counts.values()) + v_size
+            col = np.full(len(vocab), np.log(1.0 / total), dtype=np.float32)
+            for gram, c in counts.items():
+                col[vocab[gram]] = np.log((c + 1.0) / total)
+            self.logp[:, li] = col
+            self.floor[li] = np.log(1.0 / total)
 
-    def best(self, text_profile: dict[str, int]) -> str:
+    def best(self, text_counts) -> str:
         import numpy as np
 
-        ids, t_ranks = [], []
+        ids, cnts = [], []
         n_miss = 0
         get = self.vocab.get
-        for gram, rank in text_profile.items():
+        for gram, c in text_counts.items():
             vid = get(gram)
             if vid is None:
-                n_miss += 1
+                n_miss += c
             else:
                 ids.append(vid)
-                t_ranks.append(rank)
-        totals = np.abs(
-            self.ranks[ids] - np.asarray(t_ranks, dtype=np.int32)[:, None]
-        ).sum(axis=0) + n_miss * _PROFILE_SIZE
-        return self.langs[int(totals.argmin())]
-
-
-def _distance(text_profile: dict[str, int], lang_profile: dict[str, int]) -> int:
-    max_oop = _PROFILE_SIZE
-    total = 0
-    for gram, rank in text_profile.items():
-        lang_rank = lang_profile.get(gram)
-        total += max_oop if lang_rank is None else abs(rank - lang_rank)
-    return total
+                cnts.append(c)
+        totals = (
+            self.logp[ids] * np.asarray(cnts, dtype=np.float32)[:, None]
+        ).sum(axis=0) + n_miss * self.floor
+        return self.langs[int(totals.argmax())]
 
 
 def detect_language(
-    text: str | None,
-    profiles: dict[str, dict[str, int]] | _CompiledProfiles,
+    text: str | None, profiles: "NBClassifier"
 ) -> str | None:
     """ISO 639-1 code, or None when undetermined (too-short input)."""
     if text is None:
@@ -187,16 +174,10 @@ def detect_language(
     stripped = text.strip()
     if len(stripped) < MIN_CHARS:
         return None
-    tp = _rank_profile(_ngram_counts(stripped, _DETECT_PREFIX))
-    if not tp:
+    counts = _trigram_counts(stripped, _DETECT_PREFIX)
+    if not counts:
         return None
-    if isinstance(profiles, _CompiledProfiles):
-        return profiles.best(tp)
-    best_lang, _ = min(
-        ((lang_code, _distance(tp, p)) for lang_code, p in profiles.items()),
-        key=lambda kv: kv[1],
-    )
-    return best_lang
+    return profiles.best(counts)
 
 
 _TASK_PROFILES = None
@@ -207,7 +188,7 @@ def lang_batch_task(batch: pa.Table) -> pa.Table:
     module-level profile cache persists per reused worker process."""
     global _TASK_PROFILES
     if _TASK_PROFILES is None:
-        _TASK_PROFILES = _CompiledProfiles(build_profiles())
+        _TASK_PROFILES = build_profiles()
     langs = [
         detect_language(batch["content"][i].as_py(), _TASK_PROFILES)
         for i in range(len(batch))
@@ -220,7 +201,7 @@ class LangDetectStage:
     `content`. Profiles are built once per actor in __init__ (T1)."""
 
     def __init__(self) -> None:
-        self.profiles = _CompiledProfiles(build_profiles())
+        self.profiles = build_profiles()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch["content"]

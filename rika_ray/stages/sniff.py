@@ -108,24 +108,30 @@ def detect_content_type(batch: pa.Table, detector=None) -> pa.Table:
     (``/root/reference/lib/rika.rb:43-46``). A detector that raises or
     returns a falsy value falls back to the built-in sniff for that row.
     """
+    import pyarrow.compute as pc
+
     html_col = batch["html"]
     n = len(batch)
     media = [None] * n
     err_t = [None] * n
     err_m = [None] * n
+    # vectorized prefix/suffix slices: only bounded windows of each payload
+    # are materialized as Python bytes, never the (possibly multi-MB) doc
+    prefixes = pc.binary_slice(html_col, 0, _SNIFF_PREFIX).to_pylist()
+    suffixes = pc.binary_slice(html_col, -_SNIFF_SUFFIX, None).to_pylist()
     for i in range(n):
-        v = html_col[i].as_py()
-        if v is None or len(v) == 0:
+        prefix = prefixes[i]
+        if prefix is None or len(prefix) == 0:
             err_t[i] = "empty_file"
             err_m[i] = "zero-length document payload"
             continue
         detected = None
         if detector is not None:
             try:
-                detected = detector(v)
+                detected = detector(html_col[i].as_py())
             except Exception:
                 detected = None
-        media[i] = detected or sniff_bytes(v[:_SNIFF_PREFIX], v[-_SNIFF_SUFFIX:])
+        media[i] = detected or sniff_bytes(prefix, suffixes[i])
     return (
         batch.append_column("media_type", pa.array(media, pa.string()))
         .append_column("error_type", pa.array(err_t, pa.string()))
