@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -478,6 +478,24 @@ def generate_corpus(
             charset=None,
             language=None,
             error_type="empty_file",
+        )
+
+    # --- utf-16 text (BOM-marked; decode path M2/M3)
+    for k in range(max(2, n_per_family)):
+        gen = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        enc = "utf-16-le" if k % 2 == 0 else "utf-16-be"
+        bom = b"\xff\xfe" if k % 2 == 0 else b"\xfe\xff"
+        cs = "UTF-16LE" if k % 2 == 0 else "UTF-16BE"
+        b.add(
+            "plain-utf16",
+            bom + gen.encode(enc),
+            content=gen,
+            content_type=f"text/plain; charset={cs}",
+            media_type="text/plain",
+            charset=cs,
+            language="en",
+            extra_metadata={"Content-Encoding": cs},
+            claimed_lang="en",
         )
 
     # --- tiny / language-undetermined

@@ -75,8 +75,17 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return ZIP
     if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         return OLE2
-    # Unicode BOMs mark text; fall through to the HTML scan on decoded-ish
-    # bytes (BOM-stripped lowercase scan below).
+    # UTF-16 BOMs: NUL-heavy bytes would otherwise hit the binary
+    # heuristic — decode the prefix and scan that for HTML markers
+    if prefix.startswith((b"\xff\xfe", b"\xfe\xff")):
+        codec = "utf-16-le" if prefix[0] == 0xFF else "utf-16-be"
+        decoded = prefix[2:].decode(codec, errors="replace").lower()
+        dbytes = decoded.encode("utf-8", errors="replace")
+        if any(m in dbytes for m in (b"<html", b"<head", b"<body")):
+            return HTML
+        return PLAIN
+    # UTF-8 BOM marks text; fall through to the HTML scan on BOM-stripped
+    # lowercase bytes below.
     scan = prefix
     if scan.startswith(b"\xef\xbb\xbf"):
         scan = scan[3:]
