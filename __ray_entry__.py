@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_segment": relational.orders_per_segment,
         "customers_per_region": relational.customers_per_region,
         "events_hourly": relational.events_hourly,
+        "user_sessions": relational.user_sessions,
+        "purchase_last_click": relational.purchase_last_click,
         "dedup_exact": relational.dedup_exact,
         "distinct_langs": relational.distinct_langs,
         # --- text analysis ---
@@ -185,6 +187,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "user_sessions": (
+            "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, "
+            "ROUND(SUM(value), 2) AS sum_value FROM ("
+            "  SELECT *, SUM(is_new) OVER ("
+            "    PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            "    SELECT *, CASE WHEN ts - LAG(ts) OVER ("
+            "      PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "      THEN 1 ELSE 0 END AS is_new FROM events) t1) t2 "
+            "GROUP BY user_id, session_id "
+            "ORDER BY user_id, session_start"
+        ),
+        "purchase_last_click": (
+            "SELECT p.event_id, "
+            "(SELECT MAX(c.ts) FROM events c WHERE c.user_id = p.user_id "
+            " AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts "
+            "FROM events p WHERE p.event_type = 'purchase' "
+            "ORDER BY p.event_id"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents "

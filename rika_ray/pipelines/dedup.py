@@ -198,16 +198,28 @@ def minhash_lsh_pairs(
     # checkpointed layout) — never materialize the corpus-sized set.
     band_rows = _minhash_band_rows(sf_dir, seed).materialize()
 
-    # Pass 1 (cheap, 8-byte keys): find colliding buckets.
-    hot = (
-        band_rows.select_columns(["band", "band_hash"])
-        .groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-        .select_columns(["band", "band_hash"])
-        .take_all()
-    )
-    hot_set = {(r["band"], r["band_hash"]) for r in hot}
+    # Pass 1 (cheap, 8-byte keys): find colliding buckets. Small corpora
+    # pull the key pairs to the driver (one Counter pass, no extra Ray
+    # execution); large ones run the distributed groupby-count.
+    n_band_rows = band_rows.count()
+    if n_band_rows <= 2_000_000:
+        from collections import Counter as _Counter
+
+        key_counts: _Counter = _Counter(
+            (r["band"], r["band_hash"])
+            for r in band_rows.select_columns(["band", "band_hash"]).take_all()
+        )
+        hot_set = {k for k, c in key_counts.items() if c >= 2}
+    else:
+        hot = (
+            band_rows.select_columns(["band", "band_hash"])
+            .groupby(["band", "band_hash"])
+            .aggregate(Count(alias_name="n"))
+            .filter(expr="n >= 2")
+            .select_columns(["band", "band_hash"])
+            .take_all()
+        )
+        hot_set = {(r["band"], r["band_hash"]) for r in hot}
     if not hot_set:
         return ray.data.from_arrow(
             pa.table(

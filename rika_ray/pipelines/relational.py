@@ -283,6 +283,78 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Stream-shaped custom operators (SURVEY.md "Custom operators": session
+# windows + as-of join as groupby(key).map_groups over ts-sorted groups;
+# partitioning assumption: one user's events fit one group)
+# ---------------------------------------------------------------------------
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``. Expressed as a hash-shuffle
+    on user_id + per-group pandas windowing over the ts-sorted group."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g = g.assign(session_id=new_session.cumsum())
+        out = (
+            g.groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                n=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "session_start", "n", "sum_value"]]
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+        .sort(["user_id", "session_start"])
+    )
+
+
+def purchase_last_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join inside the events log: for every purchase event, the most
+    recent preceding click by the same user (pd.merge_asof per user group —
+    the backward as-of pattern from ray_guide.md)."""
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        purchases = g[g["event_type"] == "purchase"][["event_id", "ts"]]
+        clicks = g[g["event_type"] == "click"][["ts"]].rename(
+            columns={"ts": "last_click_ts"}
+        )
+        if purchases.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "last_click_ts": pd.Series(dtype="datetime64[us]")}
+            )
+        merged = pd.merge_asof(
+            purchases.sort_values("ts"),
+            clicks.sort_values("last_click_ts"),
+            left_on="ts",
+            right_on="last_click_ts",
+            direction="backward",
+        )
+        return merged[["event_id", "last_click_ts"]]
+
+    return (
+        _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(_asof, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup by content (O4 scale variant: keep first per duplicate group)
 # ---------------------------------------------------------------------------
 
