@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write extracted parquet here instead of stdout")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
+    import rika_ray
+
+    p.add_argument("-v", "--version", action="version",
+                   version=f"rika-ray {rika_ray.__version__}")
     return p
 
 

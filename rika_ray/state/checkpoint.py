@@ -173,6 +173,32 @@ def run_partitioned_extraction(
     }
 
 
+def tallies_from_checkpoint(out_dir: str):
+    """Downstream wide ops over a checkpointed run: read ONLY committed
+    partitions and aggregate. This is what "resumes mid-shuffle" means at
+    partition granularity (SURVEY.md §4.2): the extraction never reruns;
+    tallies/sorts re-execute over the durable partition outputs, so a
+    restart after a crash repeats only the cheap aggregate."""
+    import ray.data
+
+    from rika_ray.pipelines.extraction import error_tally, media_type_tally
+
+    import glob as _glob
+
+    files: list[str] = []
+    for e in completed_partitions(out_dir).values():
+        files.extend(
+            sorted(_glob.glob(os.path.join(out_dir, e["part"], "*.parquet")))
+        )
+    if not files:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    ds = ray.data.read_parquet(files, columns=["media_type", "error_type"])
+    return {
+        "error_tally": error_tally(ds).take_all(),
+        "media_type_tally": media_type_tally(ds).take_all(),
+    }
+
+
 def combined_content_hash(out_dir: str) -> int:
     """Order-independent hash over every committed partition — the
     whole-run identity used by resume/determinism tests."""

@@ -72,3 +72,22 @@ def test_manifest_lineage_fields(ray_session, sharded_input, tmp_path):
         assert entry["docs_per_sec"] > 0
         assert isinstance(entry["content_hash"], int)
         assert entry["engine_version"]
+
+
+def test_tallies_over_committed_partitions(ray_session, sharded_input, tmp_path):
+    """Wide ops after a crash run only over durable partition outputs —
+    the partition-granular "resume mid-shuffle" semantics."""
+    from rika_ray.state.checkpoint import tallies_from_checkpoint
+
+    out = str(tmp_path / "tally")
+    with pytest.raises(RuntimeError):
+        run_partitioned_extraction(sharded_input, out, fail_after=2)
+    partial = tallies_from_checkpoint(out)  # 2 committed partitions
+    partial_total = sum(r["count()"] for r in partial["error_tally"])
+
+    run_partitioned_extraction(sharded_input, out)  # resume
+    full = tallies_from_checkpoint(out)
+    full_total = sum(r["count()"] for r in full["error_tally"])
+    assert full_total > partial_total
+    media = {r["media_type"] for r in full["media_type_tally"]}
+    assert "text/html" in media and "application/pdf" in media
