@@ -35,7 +35,16 @@ def _corpus_path(sf_dir: str) -> str:
     out_dir = f"/tmp/rika_ray_corpus/v{CORPUS_VERSION}-{name}-n{n}"
     marker = os.path.join(out_dir, "web_pages.parquet")
     if not os.path.exists(marker):
-        write_corpus(out_dir, n_per_family=n, seed=42)
+        # atomic publish: build in a scratch dir, rename into place so a
+        # concurrent reader never sees a half-written corpus
+        tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+        write_corpus(tmp_dir, n_per_family=n, seed=42)
+        try:
+            os.replace(tmp_dir, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the race
     return out_dir
 
 
