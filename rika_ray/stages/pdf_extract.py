@@ -242,7 +242,6 @@ class PdfDocument:
 
     def _resolve_now(self, ref):
         # used only for /Length refs discovered mid-scan
-        m = _OBJ_RE.search(self.data)
         target = ref[1]
         for m in re.finditer(
             rb"(?m)^%d\s+\d+\s+obj\b" % target, self.data

@@ -204,3 +204,42 @@ def test_xlsx_pptx_extraction():
     content, spans, _ = extract_pptx(buf2.getvalue())
     assert content == "Title text\nLate slide\n"  # slide-number order
     assert spans[0]["page"] == 0 and spans[1]["page"] == 1
+
+
+# --- adversarial HTML robustness (M4) ---
+
+def test_html_attr_with_gt_and_comments():
+    html = (
+        '<html><body>'
+        '<!-- a comment with <p>tags</p> inside -->'
+        '<a title="a>b">short link</a>'
+        '<p>The planted article paragraph carries more than ten words of '
+        'meaningful text to survive classification.</p>'
+        '</body></html>'
+    )
+    content, _, _ = extract_html(html)
+    assert "planted article paragraph" in content
+    assert "comment with" not in content
+
+
+def test_html_unclosed_and_nested_blocks():
+    html = (
+        "<div><p>First paragraph has plenty of words to pass the minimum "
+        "threshold set by the block classifier easily."
+        "<div>Second block also has plenty of words to pass the minimum "
+        "threshold set by the classifier here.</div>"
+    )
+    content, spans, _ = extract_html(html)
+    assert len(spans) == 2
+    assert content.count("\n") == 1
+
+
+def test_html_script_with_fake_tags():
+    html = (
+        '<html><body><script>var s = "<p>not content</p>";</script>'
+        "<p>Real content paragraph with well over ten words inside of it "
+        "for the density classifier to keep.</p></body></html>"
+    )
+    content, _, _ = extract_html(html)
+    assert "not content" not in content
+    assert "Real content" in content
