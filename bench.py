@@ -82,8 +82,22 @@ def _run_extract(in_path: str) -> dict:
             while f.read(1 << 24):
                 pass
 
+    # Partition granularity: ~25 blocks per CPU keeps actor waves smooth
+    # (a one-block-per-file layout gives 200 coarse tasks whose ragged
+    # tail idles most of a 32-CPU pool for seconds at a time), capped at
+    # ~500 docs per block so tiny corpora aren't over-split.
+    blocks_per_cpu = int(os.environ.get("RIKA_BLOCKS_PER_CPU", "25"))
+    if blocks_per_cpu > 0:
+        import pyarrow.dataset as _pads
+
+        total_rows = _pads.dataset(files).count_rows()  # metadata-only
+        n_blocks = max(NCPU, min(NCPU * blocks_per_cpu, total_rows // 500))
+        read_kwargs = {"override_num_blocks": n_blocks}
+    else:
+        read_kwargs = {}
+
     t0 = time.perf_counter()
-    ds = read_web_pages(files)
+    ds = read_web_pages(files, **read_kwargs)
     out = build_extraction_pipeline(ds, ExtractionConfig())
     out.write_parquet(out_dir)
     wall = time.perf_counter() - t0
