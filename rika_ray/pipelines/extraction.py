@@ -104,15 +104,14 @@ def build_extraction_pipeline(
     """
     cfg = cfg or ExtractionConfig()
 
-    # Actor pools need an explicit size; default to the cluster CPU count so
-    # the heavyweight extract pool can saturate the node while the cheaper
-    # stages run as elastic stateless tasks around it.
-    import ray
+    # Size pools so their sum leaves CPUs for the stateless task operators
+    # (read / sniff / finalize) — a pool set that reserves every CPU starves
+    # them and the pipeline deadlocks. All sizes are computed into LOCALS
+    # (never written back to cfg) so a config object reused across pipelines
+    # or cluster sizes is re-sized per call.
+    from rika_ray.pool import cluster_cpus, pool_size
 
-    # Size pools so their sum leaves ≥2 CPUs for the stateless task
-    # operators (read / sniff / finalize) — a pool set that reserves every
-    # CPU starves them and the pipeline deadlocks.
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ncpu = cluster_cpus()
 
     if cfg.fused and not cfg.route_mega_docs:
         pool = cfg.extract_concurrency
@@ -121,7 +120,7 @@ def build_extraction_pipeline(
             # tasks): keeps utilization proportional across cluster sizes,
             # which both avoids task starvation and makes N-vs-4N scaling
             # comparisons apples-to-apples
-            pool = max(1, (ncpu * 3) // 4)
+            pool = pool_size(0.75, floor=1)
         kwargs = dict(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
@@ -145,16 +144,18 @@ def build_extraction_pipeline(
         return ds.map_batches(_fused_task, **kwargs)
 
     use_actor_pools = ncpu >= 4 or cfg.extract_concurrency is not None
+    lang_concurrency = cfg.lang_concurrency
+    extract_concurrency = cfg.extract_concurrency
     if use_actor_pools:
-        if cfg.lang_concurrency is None:
-            cfg.lang_concurrency = max(1, ncpu // 8)
+        if lang_concurrency is None:
+            lang_concurrency = max(1, ncpu // 8)
         lang_n = (
-            cfg.lang_concurrency[1]
-            if isinstance(cfg.lang_concurrency, tuple)
-            else cfg.lang_concurrency
+            lang_concurrency[1]
+            if isinstance(lang_concurrency, tuple)
+            else lang_concurrency
         )
-        if cfg.extract_concurrency is None:
-            cfg.extract_concurrency = max(1, ncpu - lang_n - 2)
+        if extract_concurrency is None:
+            extract_concurrency = max(1, ncpu - lang_n - 2)
 
     ds = ds.map_batches(
         detect_content_type,
@@ -168,7 +169,7 @@ def build_extraction_pipeline(
 
     extract_kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
     if use_actor_pools:
-        extract_kwargs["concurrency"] = cfg.extract_concurrency
+        extract_kwargs["concurrency"] = extract_concurrency
     extract_callable = ExtractStage if use_actor_pools else extract_batch_task
 
     if cfg.route_mega_docs:
@@ -199,7 +200,7 @@ def build_extraction_pipeline(
 
     lang_kwargs = dict(batch_format="pyarrow", batch_size=cfg.lang_batch_size)
     if use_actor_pools:
-        lang_kwargs["concurrency"] = cfg.lang_concurrency
+        lang_kwargs["concurrency"] = lang_concurrency
     lang_callable = LangDetectStage if use_actor_pools else lang_batch_task
     ds = ds.map_batches(lang_callable, **lang_kwargs)
 

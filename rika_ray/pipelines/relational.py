@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from rika_ray.functions.text import tokenize
+from rika_ray.pool import pool_size
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -134,9 +135,16 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price",
-             "count_order"]
+        # rename by NAME (pyarrow's "<col>_<agg>" outputs), not position —
+        # key-vs-aggregate column ordering is pyarrow-version-dependent
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_disc_price": g["disc_price_sum"],
+                "count_order": g["l_quantity_count"],
+            }
         )
 
     ds = (
@@ -207,7 +215,7 @@ def orders_per_segment(sf_dir: str) -> ray.data.Dataset:
     return (
         _rp(sf_dir, "orders", ["o_custkey"])
         .map_batches(SegmentJoin, batch_format="pandas", batch_size=65536,
-                     concurrency=2, num_cpus=0.5)
+                     concurrency=pool_size(), num_cpus=0.5)
         .groupby("c_mktsegment")
         .aggregate(Sum("n", alias_name="n"))
         .sort("c_mktsegment")
@@ -236,7 +244,8 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
 
     return (
         _rp(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(RegionJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        .map_batches(RegionJoin, batch_format="pandas",
+                     concurrency=pool_size(), num_cpus=0.5)
         .groupby("r_name")
         .aggregate(Count(alias_name="n"))
         .sort("r_name")
@@ -257,8 +266,14 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         g = batch.group_by(["window_start", "event_type"]).aggregate(
             [("value", "count"), ("value", "sum")]
         )
-        return g.rename_columns(
-            ["window_start", "event_type", "n", "sum_value"]
+        # rename by name, not position (see pricing_summary)
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n": g["value_count"],
+                "sum_value": g["value_sum"],
+            }
         )
 
     ds = (

@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rika_ray.pool import pool_size
+
 
 def _embeddings(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -61,7 +63,8 @@ def ann_topk_bruteforce(
             return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
 
     candidates = _embeddings(sf_dir).map_batches(
-        LocalTopK, batch_format="pandas", batch_size=4096, concurrency=2, num_cpus=0.5
+        LocalTopK, batch_format="pandas", batch_size=4096,
+        concurrency=pool_size(), num_cpus=0.5
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -129,7 +132,8 @@ def ann_topk_lsh(
             return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
 
     candidates = _embeddings(sf_dir).map_batches(
-        BucketTopK, batch_format="pandas", batch_size=4096, concurrency=2, num_cpus=0.5
+        BucketTopK, batch_format="pandas", batch_size=4096,
+        concurrency=pool_size(), num_cpus=0.5
     )
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

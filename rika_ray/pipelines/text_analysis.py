@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from rika_ray.functions.text import md5_hex, rolling_fingerprint, tokenize
+from rika_ray.pool import pool_size
 
 
 def _docs(sf_dir: str, columns):
@@ -123,7 +124,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(
             QualityScorer, batch_format="pyarrow", batch_size=1024,
-            concurrency=2, num_cpus=0.5,
+            concurrency=pool_size(), num_cpus=0.5,
         )
         .sort("doc_id")
     )
@@ -144,7 +145,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
         .map_batches(_prep, batch_format="pyarrow")
         .map_batches(
             LangDetectStage, batch_format="pyarrow", batch_size=1024,
-            concurrency=2, num_cpus=0.5,
+            concurrency=pool_size(), num_cpus=0.5,
         )
     )
     return ds.select_columns(["doc_id", "language"]).sort("doc_id")

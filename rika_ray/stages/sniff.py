@@ -50,6 +50,24 @@ _SNIFF_PREFIX = 2048
 _SNIFF_SUFFIX = 4096  # ZIP central directory lives at the end
 
 
+def _zip_member_names(zone: bytes) -> list[bytes]:
+    """Member names parsed from ZIP record headers found in a bounded
+    window: local file headers (``PK\\x03\\x04``, name at +30, length at
+    +26) and central-directory entries (``PK\\x01\\x02``, name at +46,
+    length at +28). Truncated records at the window edge are skipped."""
+    names: list[bytes] = []
+    for sig, name_off, len_off in ((b"PK\x03\x04", 30, 26), (b"PK\x01\x02", 46, 28)):
+        pos = zone.find(sig)
+        while pos != -1:
+            if pos + name_off <= len(zone):
+                nlen = int.from_bytes(zone[pos + len_off : pos + len_off + 2], "little")
+                name = zone[pos + name_off : pos + name_off + nlen]
+                if name and len(name) == nlen:
+                    names.append(name)
+            pos = zone.find(sig, pos + 4)
+    return names
+
+
 def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
     """Classify a payload from its first bytes (and, for ZIP containers,
     its last bytes). Pure function — the normative magic-byte table.
@@ -65,12 +83,16 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
     if prefix.startswith(b"\xff\xd8\xff"):
         return JPEG
     if prefix.startswith(b"PK\x03\x04"):
-        zone = prefix + suffix
-        if b"word/" in zone:
+        # OOXML subtype from ZIP MEMBER NAMES only (local-file-header and
+        # central-directory name fields), never a raw substring scan of the
+        # window — a generic ZIP containing 'crossword/notes.txt' must stay
+        # application/zip.
+        names = _zip_member_names(prefix) + _zip_member_names(suffix)
+        if any(nm.startswith(b"word/") for nm in names):
             return DOCX
-        if b"xl/" in zone:
+        if any(nm.startswith(b"xl/") for nm in names):
             return XLSX
-        if b"ppt/" in zone:
+        if any(nm.startswith((b"ppt/", b"ppt\\")) for nm in names):
             return PPTX
         return ZIP
     if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):

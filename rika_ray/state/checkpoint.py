@@ -102,12 +102,34 @@ def run_partitioned_extraction(
     cfg = cfg or ExtractionConfig()
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir)
+    orphans = [p for p in done if p >= len(input_files)]
+    if orphans:
+        raise RuntimeError(
+            f"checkpoint manifest has committed partitions {sorted(orphans)} "
+            f"beyond the current {len(input_files)}-shard input list — the "
+            f"shard list shrank since the interrupted run"
+        )
     processed = skipped = 0
     total_docs = sum(e["docs"] for e in done.values())
     t_run0 = time.perf_counter()
 
     for pid, in_file in enumerate(sorted(input_files)):
         if pid in done:
+            # Resume identity: a committed manifest entry only covers this
+            # pid if it was produced from the SAME input file. If the shard
+            # list changed between runs (file added/removed/renamed), the
+            # sort-index → file mapping shifts and silently skipping would
+            # leave shards unprocessed while reporting success — fail loudly
+            # instead and make the caller restart into a fresh out_dir (or
+            # clear the stale manifest).
+            committed = done[pid].get("input_files")
+            if committed != [in_file]:
+                raise RuntimeError(
+                    f"checkpoint manifest mismatch for {_part_name(pid)}: "
+                    f"committed from {committed}, current input is "
+                    f"[{in_file!r}] — the input shard list changed since the "
+                    f"interrupted run; resume would mis-map partitions"
+                )
             skipped += 1
             continue
         part = _part_name(pid)

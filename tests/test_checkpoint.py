@@ -91,3 +91,30 @@ def test_tallies_over_committed_partitions(ray_session, sharded_input, tmp_path)
     assert full_total > partial_total
     media = {r["media_type"] for r in full["media_type_tally"]}
     assert "text/html" in media and "application/pdf" in media
+
+
+def test_resume_rejects_changed_shard_list(ray_session, sharded_input, tmp_path):
+    """A resume whose sorted-shard→partition mapping shifted must fail
+    loudly, never silently skip the wrong inputs (manifest lineage is the
+    identity, not the sort index)."""
+    import shutil
+
+    out = str(tmp_path / "drift")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_partitioned_extraction(sharded_input, out, fail_after=1)
+
+    base = os.path.dirname(sharded_input[0])
+    # rename shard 0 so it sorts AFTER the others: pid 0 now maps to a
+    # different file than the committed manifest entry records
+    renamed = os.path.join(base, "z-shard-0.parquet")
+    shutil.copy(sharded_input[0], renamed)
+    drifted = [renamed] + sharded_input[1:]
+    try:
+        with pytest.raises(RuntimeError, match="manifest mismatch"):
+            run_partitioned_extraction(drifted, out)
+        # shrunk shard list → orphan committed partitions → loud failure
+        run_partitioned_extraction(sharded_input, out)  # heal: finish normally
+        with pytest.raises(RuntimeError, match="shard list shrank"):
+            run_partitioned_extraction(sharded_input[:1], out)
+    finally:
+        os.remove(renamed)

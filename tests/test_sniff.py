@@ -56,3 +56,28 @@ def test_detect_batch_kernel(corpus_tables):
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
         elif r["media_type"] is not None:
             assert got[url][0] == r["media_type"], (url, got[url])
+
+
+def test_generic_zip_with_misleading_member_names():
+    """A plain ZIP whose member paths merely CONTAIN 'word/'/'xl/'/'ppt/'
+    substrings (e.g. 'crossword/notes.txt') must stay application/zip —
+    OOXML subtype detection anchors on ZIP header name fields."""
+    import io
+    import zipfile
+
+    from rika_ray.stages.sniff import DOCX, ZIP, sniff_bytes
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("crossword/notes.txt", "across: 1")
+        z.writestr("excl/data.bin", "x" * 10)
+        z.writestr("apppt/slide.txt", "y")
+    data = buf.getvalue()
+    assert sniff_bytes(data[:2048], data[-4096:]) == ZIP
+
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", "<w:document/>")
+    d2 = buf2.getvalue()
+    assert sniff_bytes(d2[:2048], d2[-4096:]) == DOCX
