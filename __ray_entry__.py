@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_exact": dedup.embedding_neardup_exact,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -239,6 +240,67 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, n_words FROM ("
             f"SELECT doc_id, len({_TOKENIZE_SQL}) AS n_words FROM documents) t "
             f"WHERE n_words >= 50 ORDER BY doc_id"
+        ),
+        "quality_scores": (
+            # raw float64 divisions of integer counts on BOTH sides (no
+            # rounding) → bit-identical values; corpus is ASCII so the
+            # [A-Za-z] class equals Python's Unicode isalpha here
+            f"SELECT doc_id, length(text) AS n_chars, len(tok) AS n_words, "
+            f"CASE WHEN len(tok)=0 THEN 0.0 ELSE "
+            f"len(list_filter(tok, x -> list_contains(["
+            f"'the','a','an','and','or','of','to','in','is','are','was',"
+            f"'were','be','been','it','this','that','for','with','as','on',"
+            f"'at','by','from','not','but'], x)))::DOUBLE / len(tok) END "
+            f"AS stopword_ratio, "
+            f"CASE WHEN length(text)=0 THEN 0.0 ELSE (length(text) - "
+            f"length(regexp_replace(text, "
+            f"'[]!\"#$%&''()*+,./:;<=>?@[\\\\^_`{{|}}~-]', '', 'g')))::DOUBLE "
+            f"/ length(text) END AS punct_ratio, "
+            f"CASE WHEN length(text)=0 THEN 0.0 ELSE "
+            f"length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE "
+            f"/ length(text) END AS alpha_ratio, "
+            f"CASE WHEN len(tok)=0 THEN 0.0 ELSE "
+            f"list_sum(list_transform(tok, x -> length(x)))::DOUBLE / "
+            f"len(tok) END AS mean_word_len "
+            f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS tok "
+            f"FROM documents) t ORDER BY doc_id"
+        ),
+        "verify_jaccard_pairs": (
+            # exact 3-word-shingle Jaccard over ALL pairs ≥ 0.5 — the
+            # engine's MinHash-LSH candidate recall is ≈1 here (every true
+            # pair in the corpus has j ≥ 0.8; 16 bands × 4 rows misses a
+            # j=0.8 pair with p≈2e-4), and values are raw integer-count
+            # divisions, bit-identical across engines
+            f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
+            f"FROM documents), "
+            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
+            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
+            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
+            f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "
+            f"AS c FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < "
+            f"b.doc_id GROUP BY 1, 2) "
+            f"SELECT da AS doc_a, db AS doc_b, "
+            f"c::DOUBLE / (sa.n + sb.n - c) AS jaccard "
+            f"FROM inter JOIN sizes sa ON sa.doc_id = da "
+            f"JOIN sizes sb ON sb.doc_id = db "
+            f"WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5 "
+            f"ORDER BY doc_a, doc_b"
+        ),
+        # embedding_neardup_pairs (LSH, threshold 0.9) carries no SQL
+        # oracle: its correct result on this testdata is 0 rows, and Ray's
+        # to_pandas() on a 0-row dataset drops column names, which would
+        # fail a schema compare spuriously. Its 0-row correctness is
+        # instead confirmed by (a) the exact variant's oracle below and
+        # (b) tests/test_dedup_planted.py::test_lsh_matches_exact_neardups.
+        "embedding_neardup_exact": (
+            # id pairs only: cosine VALUES are float-impl-dependent across
+            # engines, membership at 0.5 is not (wide margin in the data)
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5 "
+            "ORDER BY vec_a, vec_b"
         ),
         "ann_topk_bruteforce": (
             "SELECT query_id, vec_id FROM ("

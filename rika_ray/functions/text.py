@@ -22,6 +22,31 @@ def tokenize(text: str | None) -> list[str]:
     return [t for t in _WS_RE.split(text.lower()) if t]
 
 
+def tokenize_arrow(col):
+    """Vectorized ``tokenize`` for Arrow string arrays — the hot-path
+    variant (pyarrow C++ kernels, no per-row Python): lower → trim →
+    ``split_pattern_regex(\\s+)``.
+
+    RE2's ``\\s`` is ASCII whitespace — exactly what the DuckDB oracle's
+    ``regexp_split_to_array`` uses; Python ``tokenize()`` differs only on
+    exotic Unicode whitespace (U+00A0 etc.), which the trim step still
+    strips at string edges.
+
+    Returns ``(token_lists, n_tokens)`` where ``n_tokens`` is int64 with
+    null/empty/whitespace-only rows counted as 0 (token lists for those
+    rows may contain a single empty string — filter it when flattening).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(col))
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    n = pc.list_value_length(toks).cast(pa.int64())
+    blank = pc.fill_null(pc.equal(trimmed, ""), True)
+    n = pc.fill_null(pc.if_else(blank, pa.scalar(0, pa.int64()), n), 0)
+    return toks, n
+
+
 def content_type_split(content_type: str | None) -> tuple[str | None, str | None]:
     """Split 'text/plain; charset=UTF-8' → ('text/plain', 'UTF-8').
     Reference tests compare on split(';').first

@@ -5,37 +5,72 @@ verification, embedding-cosine near-dup.
 Shuffle discipline (ray_guide.md "Aggregation at scale"):
 - exact dedup: content-hash column added vectorized, then ONE hash-shuffle
   ``groupby(hash)`` + per-group min — no pairwise work.
-- MinHash-LSH: signatures per batch (numpy-vectorized via
-  ``pd.util.hash_array`` + 32-bit affine permutations in native uint64),
-  exploded to (band, band_hash) rows. Before pairing, buckets are
-  pre-filtered to COLLIDING ones (groupby count ≥ 2 → tiny hot-bucket set,
-  broadcast) so the expensive per-group pairing only ever sees the few
-  buckets with candidates — at 10^12 scale the non-colliding 99.9% of rows
-  never reach the pairing shuffle.
+- MinHash-LSH: the corpus is scanned ONCE into slim band rows
+  ``(doc_id, band, band_hash)`` — ~20 bytes/row, no signature payload —
+  persisted to partitioned parquet (the checkpoint layout), then a
+  distributed groupby-count finds COLLIDING buckets. Only hot-bucket rows
+  (candidate-set-sized) flow into pairing; signatures are recomputed for
+  candidate documents only and joined back per pair. Nothing corpus-sized
+  ever reaches the driver or an actor's heap — driver-resident state is
+  bounded by the candidate pair set, i.e. by the result itself.
+- n-gram Jaccard verification: co-partitioned on doc_id — candidate pairs
+  explode to (doc_id, pair_id) side rows, shingle sets are computed only
+  for candidate documents, and two hash-shuffle groupbys (doc_id, then
+  pair_id) bring each pair's two shingle sets together. No text broadcast.
 - SimHash: bit votes computed with numpy unpack, no per-bit Python loops.
 - embedding near-dup: random-hyperplane LSH buckets, pairwise cosine only
-  within a bucket.
+  within a bucket; an exact all-pairs variant exists as the oracle
+  baseline (same role as brute-force ANN).
 
-At test scale candidate verification broadcasts the needed texts; at 10^12
-scale the same verification runs as a second groupby co-partitioned by
-bucket id (documented per function).
+MinHash permutation note: per-permutation hashes are ``splitmix64(x ^ r_i)``
+— xor with a per-permutation random key followed by a full-avalanche 64-bit
+mixer. An affine map ``(a*x+b) mod p`` over 32-bit inputs with a 61-bit
+prime is NOT min-wise independent here: the product wraps the modulus at
+most a few times, the map stays nearly monotone in ``x``, and the minimum
+is systematically won by the smallest shingle hashes (measured agreement
+0.70 on sets with true Jaccard 0.97). The xor-mix family is unbiased.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
 from rika_ray.functions.text import tokenize
-
-_MERSENNE61 = (1 << 61) - 1
+from rika_ray.pool import pool_size
 
 
 def _docs(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _schema_stable(
+    out: ray.data.Dataset, empty: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Materialize a (small, result-sized) pair dataset and substitute the
+    typed empty table when it has no rows — a sort over zero emitted blocks
+    otherwise loses the schema entirely (``schema()`` → None)."""
+    out = out.materialize()
+    return empty if out.count() == 0 else out
+
+
+def _empty_pairs(value_col: str) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                value_col: pa.array([], pa.float64()),
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -44,18 +79,20 @@ def _docs(sf_dir: str, columns):
 
 
 def dedup_exact_survivors(sf_dir: str) -> ray.data.Dataset:
-    """Smallest doc_id per distinct text. See relational.dedup_exact for the
-    oracle-checked variant; this one groups on a 64-bit content hash so the
-    shuffle moves 8-byte keys, not full documents (the at-scale layout).
-    """
+    """Smallest doc_id per distinct text. Groups on a 64-bit content hash so
+    the shuffle moves 8-byte keys, not full documents (the at-scale layout);
+    ``relational.dedup_exact`` delegates here for the same reason."""
 
     def _hash(batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch["text"].to_pylist(), dtype=object)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
+                # categorize=False: the categorize path truncates at NUL
+                # bytes — texts differing only after a NUL would collide
+                # and be wrongly deduplicated
                 "content_hash": pa.array(
-                    pd.util.hash_array(texts), pa.uint64()
+                    pd.util.hash_array(texts, categorize=False), pa.uint64()
                 ),
             }
         )
@@ -80,6 +117,18 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3  # word shingles
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche bijection of uint64
+    (wrapping numpy arithmetic)."""
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def _shingle_hashes_u32(text: str) -> np.ndarray:
     """Unique 32-bit shingle hashes, vectorized via pd.util.hash_array."""
     toks = tokenize(text)
@@ -94,45 +143,48 @@ def _shingle_hashes_u32(text: str) -> np.ndarray:
     return np.unique(h & np.uint64(0xFFFFFFFF))
 
 
-class MinHashStage:
-    """Actor-pool stage: text → 64-perm MinHash signature + LSH band keys.
-
-    Signature math stays in native uint64: shingle hashes are 32-bit and the
-    affine coefficients are 32-bit, so ``a*x + b`` never overflows before
-    the mod-Mersenne61 reduction. Permutation parameters are generated once
-    per actor in ``__init__`` (fixed seed → identical across actors)."""
+class _MinHasher:
+    """Shared signature/band math for the two actor stages. Permutation
+    keys are generated once per actor in ``__init__`` (fixed seed →
+    identical across actors)."""
 
     def __init__(self, seed: int = 42) -> None:
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 32, size=N_PERM, dtype=np.uint64)
-        self.b = rng.randint(0, 1 << 32, size=N_PERM, dtype=np.uint64)
-        self.band_mix = rng.randint(
-            1, 1 << 61, size=(N_BANDS, ROWS_PER_BAND), dtype=np.uint64
-        ) | np.uint64(1)
+        # per-permutation xor keys; two draws make full-width 64-bit keys
+        hi = rng.randint(0, 1 << 32, size=N_PERM, dtype=np.uint64)
+        lo = rng.randint(0, 1 << 32, size=N_PERM, dtype=np.uint64)
+        self.keys = (hi << np.uint64(32)) | lo
+        bhi = rng.randint(0, 1 << 32, size=N_BANDS, dtype=np.uint64)
+        blo = rng.randint(0, 1 << 32, size=N_BANDS, dtype=np.uint64)
+        self.band_salt = (bhi << np.uint64(32)) | blo
 
     def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes_u32(text)[None, :]
-        vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE61)
+        x = _shingle_hashes_u32(text)[None, :]  # (1, n)
+        vals = _mix64(x ^ self.keys[:, None])  # (N_PERM, n)
         return vals.min(axis=1)  # (N_PERM,)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """One 64-bit hash per band over that band's ROWS_PER_BAND slice —
+        equal slices hash equal; unequal collide at ~2^-64."""
         chunks = sig.reshape(N_BANDS, ROWS_PER_BAND)
-        mixed = chunks * self.band_mix  # multiply-xor mix, all bands at once
-        out = mixed[:, 0]
+        out = _mix64(chunks[:, 0] ^ self.band_salt)
         for r in range(1, ROWS_PER_BAND):
-            out = (out * np.uint64(0x9E3779B97F4A7C15)) ^ mixed[:, r]
+            out = _mix64(out ^ chunks[:, r])
         return out
+
+
+class MinHashBandStage(_MinHasher):
+    """Actor-pool stage: text → SLIM LSH band rows (doc_id, band,
+    band_hash). No signature payload rides the shuffle — ~20 bytes/row
+    instead of the ~8 KB/doc a repeated 64-perm signature would cost."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         doc_id_arr = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        sigs = np.empty((n, N_PERM), dtype=np.uint64)
         bhs = np.empty((n, N_BANDS), dtype=np.uint64)
         for i in range(n):
-            sig = self.signature(texts[i] or "")
-            sigs[i] = sig
-            bhs[i] = self.band_hashes(sig)
+            bhs[i] = self.band_hashes(self.signature(texts[i] or ""))
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_id_arr, N_BANDS), pa.int64()),
@@ -140,167 +192,341 @@ class MinHashStage:
                     np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
                 ),
                 "band_hash": pa.array(bhs.reshape(-1), pa.uint64()),
-                "sig": pa.array(
-                    np.repeat(sigs, N_BANDS, axis=0).tolist(),
-                    pa.list_(pa.uint64()),
+            }
+        )
+
+
+class MinHashSigStage(_MinHasher):
+    """Actor-pool stage: text → full 64-perm signature, run only over
+    CANDIDATE documents (post-LSH), so the signature payload exists only
+    for the candidate-set-sized slice of the corpus."""
+
+    def __init__(self, seed: int = 42, doc_ids_ref=None) -> None:
+        super().__init__(seed)
+        import ray
+
+        self.doc_ids = (
+            pa.array(sorted(ray.get(doc_ids_ref)), pa.int64())
+            if doc_ids_ref is not None
+            else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.doc_ids is not None:
+            batch = batch.filter(pc.is_in(batch["doc_id"], self.doc_ids))
+        texts = batch["text"].to_pylist()
+        sigs = np.empty((len(batch), N_PERM), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t or "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), N_PERM
                 ),
             }
         )
 
 
-def _minhash_band_rows(sf_dir: str, seed: int) -> ray.data.Dataset:
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashStage,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=2,
-        num_cpus=0.5,
-        fn_constructor_kwargs={"seed": seed},
-    )
-
-
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Within one colliding (band, band_hash) bucket: all pairs + estimated
-    Jaccard from signature agreement. Only hot buckets reach this."""
-    rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = rows["doc_id"].to_numpy()
+def _bucket_pair_ids(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one colliding (band, band_hash) bucket: all doc_id pairs.
+    Only hot buckets ever reach this, so group sizes are duplicate-cluster
+    sizes, not corpus-sized."""
+    ids = np.unique(group["doc_id"].to_numpy())
     if len(ids) < 2:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype="int64"),
                 "doc_b": pd.Series(dtype="int64"),
-                "est_jaccard": pd.Series(dtype="float64"),
             }
         )
-    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in rows["sig"]])
-    eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
     ii, jj = np.triu_indices(len(ids), k=1)
     return pd.DataFrame(
-        {
-            "doc_a": ids[ii].astype("int64"),
-            "doc_b": ids[jj].astype("int64"),
-            "est_jaccard": eq[ii, jj],
-        }
+        {"doc_a": ids[ii].astype("int64"), "doc_b": ids[jj].astype("int64")}
     )
+
+
+def candidate_signatures(
+    sf_dir: str, cand_ids: set[int], seed: int = 42
+) -> dict[int, np.ndarray]:
+    """64-perm signatures for the (candidate-set-sized) documents in
+    ``cand_ids``: one pruned corpus scan filtering on a broadcast id set —
+    ids only, never text — then signatures for the survivors."""
+    import ray
+
+    if not cand_ids:
+        return {}
+    ids_ref = ray.put(list(cand_ids))
+    rows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            MinHashSigStage,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=pool_size(),
+            num_cpus=0.5,
+            fn_constructor_kwargs={"seed": seed, "doc_ids_ref": ids_ref},
+        )
+        .take_all()  # candidate-set-sized (bounded by the result size)
+    )
+    return {
+        r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in rows
+    }
 
 
 def minhash_lsh_pairs(
     sf_dir: str, threshold: float = 0.5, seed: int = 42
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs: shingle→minhash→band→bucket; buckets are
-    pre-filtered to colliding ones (count ≥ 2, broadcast as a set) before
-    any pairing work, then per-bucket pairing + threshold + pair dedup."""
+    """Candidate near-dup pairs: shingle → minhash → band → bucket.
+
+    One corpus scan emits slim band rows persisted to partitioned parquet
+    (scratch checkpoint under /tmp; at cluster scale this is the job's
+    checkpoint directory, partitioned by band_hash range). A distributed
+    groupby-count over the parquet finds colliding buckets; only those
+    rows are paired. Estimated Jaccard (signature agreement) is attached
+    per DISTINCT pair from candidate-only signatures, then thresholded."""
     import ray
 
-    # materialize: both passes (hot-bucket scan + pairing) read the band
-    # rows; at test scale pinning them beats recomputing signatures. At
-    # 10^12 scale, persist band rows to partitioned parquet instead (the
-    # checkpointed layout) — never materialize the corpus-sized set.
-    band_rows = _minhash_band_rows(sf_dir, seed).materialize()
+    scratch_root = "/tmp/rika_ray_scratch"
+    os.makedirs(scratch_root, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="minhash-bands-", dir=scratch_root)
 
-    # Pass 1 (cheap, 8-byte keys): find colliding buckets. Small corpora
-    # pull the key pairs to the driver (one Counter pass, no extra Ray
-    # execution); large ones run the distributed groupby-count.
-    n_band_rows = band_rows.count()
-    if n_band_rows <= 2_000_000:
-        from collections import Counter as _Counter
+    _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashBandStage,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+        num_cpus=0.5,
+        fn_constructor_kwargs={"seed": seed},
+    ).write_parquet(scratch)
+    band_rows = ray.data.read_parquet(scratch)
 
-        key_counts: _Counter = _Counter(
-            (r["band"], r["band_hash"])
-            for r in band_rows.select_columns(["band", "band_hash"]).take_all()
-        )
-        hot_set = {k for k, c in key_counts.items() if c >= 2}
-    else:
-        hot = (
-            band_rows.select_columns(["band", "band_hash"])
-            .groupby(["band", "band_hash"])
-            .aggregate(Count(alias_name="n"))
-            .filter(expr="n >= 2")
-            .select_columns(["band", "band_hash"])
-            .take_all()
-        )
-        hot_set = {(r["band"], r["band_hash"]) for r in hot}
-    if not hot_set:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    hot_ref = ray.put(hot_set)
+    # Pass 1 (8-byte keys only): colliding buckets via distributed
+    # groupby-count. The hot set is collision-sized (≈ dup clusters), so
+    # collecting it for broadcast is driver-safe at any corpus size.
+    hot = (
+        band_rows.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["band", "band_hash"])
+        .to_pandas()
+    )
+    if len(hot) == 0:
+        return _empty_pairs("est_jaccard")
+    hot_ref = ray.put(hot)
 
-    # Pass 2: keep only hot-bucket rows (tiny), then group and pair.
+    # Pass 2 over the persisted band rows: keep hot-bucket rows via a
+    # vectorized pandas merge (no per-row membership loop), group, pair.
     def _keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = ray.get(hot_ref)
-        mask = [
-            (b, h) in hs for b, h in zip(batch["band"], batch["band_hash"])
-        ]
-        return batch[mask]
+        return batch.merge(ray.get(hot_ref), on=["band", "band_hash"])
 
     pairs = (
         band_rows.map_batches(_keep_hot, batch_format="pandas")
         .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .filter(expr=f"est_jaccard >= {threshold}")
+        .map_groups(_bucket_pair_ids, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])  # distinct pairs (multi-band collisions)
+        .aggregate(Count(alias_name="_nb"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # candidate-pair-sized, not corpus-sized
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    pair_rows = pairs.take_all()
+    if not pair_rows:
+        return _empty_pairs("est_jaccard")
+    cand_ids = {r["doc_a"] for r in pair_rows} | {
+        r["doc_b"] for r in pair_rows
+    }
+    sigs = candidate_signatures(sf_dir, cand_ids, seed)
+    sigs_ref = ray.put(sigs)
+
+    def _attach_est(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(sigs_ref)
+        a = np.stack([lookup[d] for d in batch["doc_a"]])
+        b = np.stack([lookup[d] for d in batch["doc_b"]])
+        batch = batch.copy()
+        batch["est_jaccard"] = (a == b).mean(axis=1)
+        return batch
+
+    out = (
+        pairs.map_batches(_attach_est, batch_format="pandas")
+        .filter(expr=f"est_jaccard >= {threshold}")
         .sort(["doc_a", "doc_b"])
     )
+    return _schema_stable(out, _empty_pairs("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard verification (exact) for candidate pairs
+# n-gram Jaccard verification (exact) for candidate pairs — co-partitioned
 # ---------------------------------------------------------------------------
+
+_SIDES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("pair_id", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("shingles", pa.list_(pa.uint32())),
+    ]
+)
+
+
+def _pair_ids(doc_a: np.ndarray, doc_b: np.ndarray) -> np.ndarray:
+    """Deterministic 63-bit pair key from the id pair (collision odds
+    ~pairs²/2^63 — negligible, and stable across runs)."""
+    # ':' separator + categorize=False: pd.util.hash_array's default
+    # categorize path truncates strings at NUL bytes, silently colliding
+    # keys that differ only after a NUL
+    keys = np.asarray(
+        [f"{a}:{b}" for a, b in zip(doc_a, doc_b)], dtype=object
+    )
+    return (
+        pd.util.hash_array(keys, categorize=False) >> np.uint64(1)
+    ).astype(np.int64)
+
+
+class _ShingleStage:
+    """Shingle-set rows for CANDIDATE documents only (broadcast id set —
+    ids, never text)."""
+
+    def __init__(self, doc_ids_ref) -> None:
+        import ray
+
+        self.doc_ids = pa.array(sorted(ray.get(doc_ids_ref)), pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["doc_id"], self.doc_ids))
+        shingles = [
+            _shingle_hashes_u32(t or "").astype(np.uint32)
+            for t in batch["text"].to_pylist()
+        ]
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pair_id": pa.nulls(n, pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "shingles": pa.array(
+                    [s.tolist() for s in shingles], pa.list_(pa.uint32())
+                ),
+            },
+            schema=_SIDES_SCHEMA,
+        )
+
+
+def _explode_sides(batch: pa.Table) -> pa.Table:
+    """Candidate pairs → two (doc_id, pair_id) side rows each."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    pid = _pair_ids(a, b)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_id": pa.array(np.concatenate([pid, pid]), pa.int64()),
+            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "shingles": pa.nulls(2 * len(batch), pa.list_(pa.uint32())),
+        },
+        schema=_SIDES_SCHEMA,
+    )
+
+
+def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
+    """Per doc_id group: one shingle row + k pair-side rows → k rows
+    carrying that doc's shingles to the pair_id shuffle."""
+    sh_rows = group[group["shingles"].notna()]
+    sides = group[group["pair_id"].notna()]
+    if sh_rows.empty or sides.empty:
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "shingles": pd.Series(dtype="object"),
+            }
+        )
+    shingles = sh_rows["shingles"].iloc[0]
+    return pd.DataFrame(
+        {
+            "pair_id": sides["pair_id"].astype("int64"),
+            "doc_id": sides["doc_id"].astype("int64"),
+            "doc_a": sides["doc_a"].astype("int64"),
+            "doc_b": sides["doc_b"].astype("int64"),
+            "shingles": [shingles] * len(sides),
+        }
+    )
+
+
+def _pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
+    """Per pair_id group: the pair's two shingle sets → exact Jaccard."""
+    if len(group) < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    sa = set(np.asarray(group["shingles"].iloc[0]).tolist())
+    sb = set(np.asarray(group["shingles"].iloc[1]).tolist())
+    union = len(sa | sb)
+    j = (len(sa & sb) / union) if union else 0.0
+    return pd.DataFrame(
+        {
+            "doc_a": [int(group["doc_a"].iloc[0])],
+            "doc_b": [int(group["doc_b"].iloc[0])],
+            "jaccard": [j],
+        }
+    )
 
 
 def verify_jaccard_pairs(
     sf_dir: str, threshold: float = 0.5, seed: int = 42
 ) -> ray.data.Dataset:
-    """MinHash candidates verified with exact shingle-set Jaccard. Texts for
-    verification are broadcast at test scale (ray.put of a doc_id→text dict);
-    at 10^12 scale this becomes a second groupby co-partitioned on doc_id
-    buckets so each verifier task reads only its shard of texts."""
+    """MinHash candidates verified with exact shingle-set Jaccard,
+    CO-PARTITIONED on doc_id — no text or shingle broadcast anywhere:
+
+    1. candidate pairs explode to (doc_id, pair_id) side rows,
+    2. shingle sets are computed only for candidate documents (pruned
+       scan filtered on a broadcast id set — ids, never text),
+    3. groupby(doc_id) attaches each doc's shingles to its side rows,
+    4. groupby(pair_id) brings a pair's two sets together → exact Jaccard.
+
+    Values are raw float64 ratios (|A∩B|/|A∪B| of integer counts) —
+    bit-identical to the DuckDB oracle's division, so no rounding."""
     import ray
 
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in _docs(sf_dir, ["doc_id", "text"]).take_all()
+    cand = minhash_lsh_pairs(
+        sf_dir, threshold=threshold * 0.6, seed=seed
+    ).materialize()  # candidate-pair-sized
+    cand_rows = cand.select_columns(["doc_a", "doc_b"]).take_all()
+    if not cand_rows:
+        return _empty_pairs("jaccard")
+    cand_ids = {r["doc_a"] for r in cand_rows} | {
+        r["doc_b"] for r in cand_rows
     }
-    texts_ref = ray.put(texts)
-    candidates = minhash_lsh_pairs(sf_dir, threshold=threshold * 0.6, seed=seed)
+    ids_ref = ray.put(list(cand_ids))
 
-    class VerifyJaccard:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, row in batch.iterrows():
-                sa = set(_shingle_hashes_u32(self.texts[row["doc_a"]]).tolist())
-                sb = set(_shingle_hashes_u32(self.texts[row["doc_b"]]).tolist())
-                union = len(sa | sb)
-                j = (len(sa & sb) / union) if union else 0.0
-                if j >= threshold:
-                    out.append(
-                        {
-                            "doc_a": row["doc_a"],
-                            "doc_b": row["doc_b"],
-                            "jaccard": round(j, 6),
-                        }
-                    )
-            return pd.DataFrame(
-                out, columns=["doc_a", "doc_b", "jaccard"]
-            ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
-
-    return candidates.map_batches(
-        VerifyJaccard, batch_format="pandas", batch_size=1024,
-        concurrency=2, num_cpus=0.5,
-    ).sort(["doc_a", "doc_b"])
+    sides = cand.map_batches(_explode_sides, batch_format="pyarrow")
+    shingle_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _ShingleStage,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+        num_cpus=0.5,
+        fn_constructor_kwargs={"doc_ids_ref": ids_ref},
+    )
+    verified = (
+        sides.union(shingle_rows)
+        .groupby("doc_id")
+        .map_groups(_attach_shingles, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(_pair_jaccard, batch_format="pandas")
+        .filter(expr=f"jaccard >= {threshold}")
+        .select_columns(["doc_a", "doc_b", "jaccard"])
+    )
+    out = _empty_pairs("jaccard").union(verified).sort(["doc_a", "doc_b"])
+    return _schema_stable(out, _empty_pairs("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -345,8 +571,13 @@ class SimHashStage:
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(SimHashStage, batch_format="pyarrow", batch_size=1024,
-                     concurrency=2, num_cpus=0.5)
+        .map_batches(
+            SimHashStage,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=pool_size(),
+            num_cpus=0.5,
+        )
         .sort("doc_id")
     )
 
@@ -360,7 +591,9 @@ def embedding_neardup_pairs(
     sf_dir: str, threshold: float = 0.9, n_planes: int = 12, seed: int = 42
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs: sign-of-projection LSH bucket (one
-    shuffle on the bucket key), exact cosine only within buckets."""
+    shuffle on the bucket key), exact cosine only within buckets. The
+    scale path — recall < 1 by design for borderline pairs; the exact
+    baseline below is the oracle-checked ground truth."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
     planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
@@ -401,13 +634,19 @@ def embedding_neardup_pairs(
         )
 
     pairs = (
-        emb.map_batches(BucketStage, batch_format="pandas", batch_size=1024,
-                        concurrency=2, num_cpus=0.5)
+        emb.map_batches(
+            BucketStage,
+            batch_format="pandas",
+            batch_size=1024,
+            concurrency=pool_size(),
+            num_cpus=0.5,
+        )
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pandas")
     )
-    # union with a typed empty table so a zero-pair corpus still yields a
-    # stable (vec_a, vec_b, cosine) schema
+    # a zero-pair corpus must still yield the (vec_a, vec_b, cosine)
+    # schema — a sort over zero emitted blocks loses it entirely
+    # (schema() is None), so fall back to the typed empty table
     empty = ray.data.from_arrow(
         pa.table(
             {
@@ -417,4 +656,68 @@ def embedding_neardup_pairs(
             }
         )
     )
-    return empty.union(pairs).sort(["vec_a", "vec_b"])
+    return _schema_stable(empty.union(pairs).sort(["vec_a", "vec_b"]), empty)
+
+
+def embedding_neardup_exact(
+    sf_dir: str, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """Exact all-pairs cosine near-dup — the oracle BASELINE (same role as
+    brute-force ANN): the normalized corpus matrix is broadcast once via
+    ``ray.put`` and each batch does one matmul against it. O(n²) compute
+    but O(n·dim) memory; the LSH variant above is the at-scale path.
+    Emits id pairs only (vec_a < vec_b) — cosine values are float-impl-
+    dependent across engines, ranks/membership are not (threshold sits in
+    a wide margin of the data)."""
+    import ray as _ray
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    if n_vecs > 1_000_000:
+        raise ValueError(
+            f"embedding_neardup_exact is the O(n²) oracle baseline; "
+            f"{n_vecs} vectors needs the LSH path (embedding_neardup_pairs)"
+        )
+    all_rows = emb.to_pandas()
+    mat = np.stack(all_rows["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids_all = all_rows["vec_id"].to_numpy().astype(np.int64)
+    mat_ref = _ray.put((ids_all, mat))
+
+    class ExactPairs:
+        def __init__(self):
+            self.ids_all, self.mat = _ray.get(mat_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            vecs /= np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
+            sim = vecs @ self.mat.T  # (batch, n)
+            ids_b = batch["vec_id"].to_numpy().astype(np.int64)
+            ii, jj = np.where(
+                (sim >= threshold) & (ids_b[:, None] < self.ids_all[None, :])
+            )
+            return pd.DataFrame(
+                {
+                    "vec_a": ids_b[ii],
+                    "vec_b": self.ids_all[jj],
+                }
+            )
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    pairs = emb.map_batches(
+        ExactPairs,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=pool_size(),
+        num_cpus=0.5,
+    )
+    return _schema_stable(empty.union(pairs).sort(["vec_a", "vec_b"]), empty)

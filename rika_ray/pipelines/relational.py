@@ -22,7 +22,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from rika_ray.functions.text import tokenize
+from rika_ray.functions.text import tokenize, tokenize_arrow
 from rika_ray.pool import pool_size
 
 
@@ -74,13 +74,16 @@ def lang_claim_tally(sf_dir: str) -> ray.data.Dataset:
 
 def top_words(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     def _partial_counts(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for v in batch["text"]:
-            c.update(tokenize(v.as_py()))
+        # in-batch partial count entirely in Arrow C++: tokenize → flatten
+        # → value_counts; the shuffle then moves (word, partial) rows
+        toks, _ = tokenize_arrow(batch["text"])
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
         return pa.table(
             {
-                "word": pa.array(list(c.keys()), pa.string()),
-                "cnt": pa.array(list(c.values()), pa.int64()),
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
             }
         )
 
@@ -376,14 +379,12 @@ def purchase_last_click(sf_dir: str) -> ray.data.Dataset:
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup on documents.text: keep the smallest doc_id per distinct
-    text (hash-partition groupby + per-group min). Returns survivor ids."""
-    return (
-        _rp(sf_dir, "documents", ["doc_id", "text"])
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-        .sort("doc_id")
-    )
+    text. Delegates to the hashed implementation — grouping on the raw text
+    would ship full documents as the shuffle key, so the only at-scale
+    layout is the 8-byte content-hash groupby (same oracle SQL)."""
+    from rika_ray.pipelines.dedup import dedup_exact_survivors
+
+    return dedup_exact_survivors(sf_dir)
 
 
 def distinct_langs(sf_dir: str) -> ray.data.Dataset:

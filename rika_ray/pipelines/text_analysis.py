@@ -13,7 +13,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from rika_ray.functions.text import md5_hex, rolling_fingerprint, tokenize
+from rika_ray.functions.text import (
+    md5_hex,
+    rolling_fingerprint,
+    tokenize,
+    tokenize_arrow,
+)
 from rika_ray.pool import pool_size
 
 
@@ -22,13 +27,12 @@ def _docs(sf_dir: str, columns):
 
 
 def doc_token_counts(sf_dir: str) -> ray.data.Dataset:
-    """doc_id → n_words (whitespace tokenizer; oracle: regexp split)."""
+    """doc_id → n_words (whitespace tokenizer; oracle: regexp split).
+    Counting stays in Arrow C++ (``tokenize_arrow``) — no per-row Python."""
 
     def _count(batch: pa.Table) -> pa.Table:
-        n = [len(tokenize(v.as_py())) for v in batch["text"]]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n_words": pa.array(n, pa.int64())}
-        )
+        _, n = tokenize_arrow(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "n_words": n})
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -91,20 +95,25 @@ class QualityScorer:
         self.punct = _PUNCT
 
     def score_one(self, text: str) -> dict:
+        # ratios stay RAW float64 (single divisions of integer counts):
+        # the same IEEE division the DuckDB oracle computes, so values are
+        # bit-identical across engines — rounding would only add banker's-
+        # vs-half-away tie mismatches at the cut digit
         toks = tokenize(text)
         n_words = len(toks)
         n_chars = len(text)
         n_stop = sum(1 for t in toks if t in self.stopwords)
         n_punct = sum(1 for ch in text if ch in self.punct)
         n_alpha = sum(1 for ch in text if ch.isalpha())
-        mean_wl = (sum(len(t) for t in toks) / n_words) if n_words else 0.0
         return {
             "n_chars": n_chars,
             "n_words": n_words,
-            "stopword_ratio": round(n_stop / n_words, 6) if n_words else 0.0,
-            "punct_ratio": round(n_punct / n_chars, 6) if n_chars else 0.0,
-            "alpha_ratio": round(n_alpha / n_chars, 6) if n_chars else 0.0,
-            "mean_word_len": round(mean_wl, 6),
+            "stopword_ratio": n_stop / n_words if n_words else 0.0,
+            "punct_ratio": n_punct / n_chars if n_chars else 0.0,
+            "alpha_ratio": n_alpha / n_chars if n_chars else 0.0,
+            "mean_word_len": (
+                sum(len(t) for t in toks) / n_words if n_words else 0.0
+            ),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -156,8 +165,8 @@ def quality_filter(sf_dir: str, min_words: int = 50) -> ray.data.Dataset:
     (SQL-expressible part only, so it carries an oracle)."""
 
     def _count(batch: pa.Table) -> pa.Table:
-        n = [len(tokenize(v.as_py())) for v in batch["text"]]
-        t = batch.append_column("n_words", pa.array(n, pa.int64()))
+        _, n = tokenize_arrow(batch["text"])
+        t = batch.append_column("n_words", n)
         return t.filter(pc.greater_equal(t["n_words"], min_words))
 
     return (

@@ -77,7 +77,10 @@ def _content_hash_batch(batch: pa.Table) -> pa.Table:
         [f"{u}\x00{c if c is not None else '<null>'}" for u, c in zip(urls, contents)],
         dtype=object,
     )
-    h = pd.util.hash_array(rows)
+    # categorize=False: the default categorize path truncates strings at
+    # NUL bytes — with the url\x00content layout that would hash ONLY the
+    # url and miss content changes entirely
+    h = pd.util.hash_array(rows, categorize=False)
     partial = np.uint64(0)
     for v in h:
         partial = partial + v  # wrapping uint64 sum: order-independent

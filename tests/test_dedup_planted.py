@@ -121,3 +121,33 @@ def test_embedding_neardup_finds_planted_pair(ray_session, planted_dir):
         (r["vec_a"], r["vec_b"]) == (0, 30) and r["cosine"] > 0.99
         for r in pairs
     )
+
+
+def test_lsh_matches_exact_neardups(ray_session, planted_dir):
+    """The LSH near-dup path agrees with the exact all-pairs baseline at
+    its 0.95 threshold on the planted corpus — the recall confirmation the
+    driver testdata (0 true pairs ≥ 0.9) cannot give."""
+    from rika_ray.pipelines.dedup import embedding_neardup_exact
+
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(planted_dir, threshold=0.95).take_all()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_exact(planted_dir, threshold=0.95).take_all()
+    }
+    assert (0, 30) in exact
+    assert lsh == exact
+
+
+def test_driver_testdata_has_no_neardups_at_09(ray_session):
+    """Confirms the 0-row result of embedding_neardup_pairs on the driver
+    testdata is genuinely correct: the exact baseline finds nothing ≥ 0.9
+    either (max cosine in the data is ~0.51)."""
+    from rika_ray.pipelines.dedup import embedding_neardup_exact
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_neardup_exact(sf, threshold=0.9).take_all()
+    lsh = embedding_neardup_pairs(sf, threshold=0.9).take_all()
+    assert exact == [] and lsh == []

@@ -33,7 +33,14 @@ def _to_df(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.empty and len(df.columns) == 0:
+            # Ray quirk: to_pandas() on a 0-row dataset drops column
+            # names — rebuild them from the (preserved) schema
+            schema = result.schema()
+            if schema is not None:
+                df = pd.DataFrame(columns=list(schema.names))
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
