@@ -44,7 +44,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from rika_ray.functions.text import tokenize
-from rika_ray.pool import pool_size
+from rika_ray.pool import pool_spec
 
 
 def _docs(sf_dir: str, columns):
@@ -91,8 +91,14 @@ def dedup_exact_survivors(sf_dir: str) -> ray.data.Dataset:
                 # categorize=False: the categorize path truncates at NUL
                 # bytes — texts differing only after a NUL would collide
                 # and be wrongly deduplicated
+                # int64 BIT-VIEW of the 64-bit hash: Ray's shuffle falls
+                # back to pickled-object extension arrays for uint64 values
+                # above the int64 range (equality semantics are identical)
                 "content_hash": pa.array(
-                    pd.util.hash_array(texts, categorize=False), pa.uint64()
+                    pd.util.hash_array(texts, categorize=False).view(
+                        np.int64
+                    ),
+                    pa.int64(),
                 ),
             }
         )
@@ -176,22 +182,59 @@ class _MinHasher:
 class MinHashBandStage(_MinHasher):
     """Actor-pool stage: text → SLIM LSH band rows (doc_id, band,
     band_hash). No signature payload rides the shuffle — ~20 bytes/row
-    instead of the ~8 KB/doc a repeated 64-perm signature would cost."""
+    instead of the ~8 KB/doc a repeated 64-perm signature would cost.
+
+    The whole batch is hashed in ONE ``pd.util.hash_array`` call and the
+    per-doc minima come from ``np.minimum.reduceat`` over doc offsets —
+    no per-document hashing calls. Duplicate shingles within a doc don't
+    change a minimum, so the unique() step of ``signature()`` is skipped;
+    the resulting signatures are bit-identical to ``signature()``'s."""
+
+    def _batch_band_hashes(self, texts: list[str]) -> np.ndarray:
+        shingle_lists = []
+        for t in texts:
+            toks = tokenize(t or "")
+            if len(toks) < SHINGLE_K:
+                shingle_lists.append([" ".join(toks)] if toks else [""])
+            else:
+                shingle_lists.append(
+                    [
+                        " ".join(toks[i : i + SHINGLE_K])
+                        for i in range(len(toks) - SHINGLE_K + 1)
+                    ]
+                )
+        counts = np.fromiter(
+            (len(s) for s in shingle_lists), dtype=np.int64
+        )
+        flat = np.asarray(
+            [s for lst in shingle_lists for s in lst], dtype=object
+        )
+        h = pd.util.hash_array(flat) & np.uint64(0xFFFFFFFF)
+        vals = _mix64(h[None, :] ^ self.keys[:, None])  # (N_PERM, total)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sigs = np.minimum.reduceat(vals, offsets, axis=1)  # (N_PERM, n)
+        chunks = sigs.reshape(N_BANDS, ROWS_PER_BAND, -1)
+        out = _mix64(chunks[:, 0, :] ^ self.band_salt[:, None])
+        for r in range(1, ROWS_PER_BAND):
+            out = _mix64(out ^ chunks[:, r, :])
+        return out.T  # (n, N_BANDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         doc_id_arr = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        bhs = np.empty((n, N_BANDS), dtype=np.uint64)
-        for i in range(n):
-            bhs[i] = self.band_hashes(self.signature(texts[i] or ""))
+        bhs = self._batch_band_hashes(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_id_arr, N_BANDS), pa.int64()),
                 "band": pa.array(
                     np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
                 ),
-                "band_hash": pa.array(bhs.reshape(-1), pa.uint64()),
+                # int64 bit-view: uint64 above int63 degrades Ray's shuffle
+                # to pickled-object arrays (see dedup_exact_survivors)
+                "band_hash": pa.array(
+                    bhs.reshape(-1).view(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -228,21 +271,29 @@ class MinHashSigStage(_MinHasher):
         )
 
 
-def _bucket_pair_ids(group: pd.DataFrame) -> pd.DataFrame:
-    """Within one colliding (band, band_hash) bucket: all doc_id pairs.
-    Only hot buckets ever reach this, so group sizes are duplicate-cluster
-    sizes, not corpus-sized."""
-    ids = np.unique(group["doc_id"].to_numpy())
-    if len(ids) < 2:
+def _pairs_from_hot_rows(hot_rows: pd.DataFrame) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs co-bucketed in at least one band,
+    deduplicated — one vectorized self-merge on the bucket key, no
+    per-group Python. The input is collision-bounded (hot-bucket band
+    rows only), i.e. the same size class as the candidate pair set."""
+    if hot_rows.empty:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype="int64"),
                 "doc_b": pd.Series(dtype="int64"),
             }
         )
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame(
-        {"doc_a": ids[ii].astype("int64"), "doc_b": ids[jj].astype("int64")}
+    rows = hot_rows.drop_duplicates(["band", "band_hash", "doc_id"])[
+        ["band", "band_hash", "doc_id"]
+    ]
+    m = rows.merge(rows, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    return (
+        m[["doc_id_a", "doc_id_b"]]
+        .drop_duplicates()
+        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        .astype("int64")
+        .reset_index(drop=True)
     )
 
 
@@ -251,22 +302,22 @@ def candidate_signatures(
 ) -> dict[int, np.ndarray]:
     """64-perm signatures for the (candidate-set-sized) documents in
     ``cand_ids``: one pruned corpus scan filtering on a broadcast id set —
-    ids only, never text — then signatures for the survivors."""
+    ids only, never text — then signatures for the survivors. Runs as
+    TASK-based ``map_batches`` (no actor pool): the per-task state init is
+    a few numpy arrays (~µs), so pool startup would cost more than it
+    saves even at cluster scale."""
     import ray
 
     if not cand_ids:
         return {}
     ids_ref = ray.put(list(cand_ids))
+
+    def _sig_task(batch: pa.Table) -> pa.Table:
+        return MinHashSigStage(seed=seed, doc_ids_ref=ids_ref)(batch)
+
     rows = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            MinHashSigStage,
-            batch_format="pyarrow",
-            batch_size=512,
-            concurrency=pool_size(),
-            num_cpus=0.5,
-            fn_constructor_kwargs={"seed": seed, "doc_ids_ref": ids_ref},
-        )
+        .map_batches(_sig_task, batch_format="pyarrow", batch_size=512)
         .take_all()  # candidate-set-sized (bounded by the result size)
     )
     return {
@@ -282,9 +333,13 @@ def minhash_lsh_pairs(
     One corpus scan emits slim band rows persisted to partitioned parquet
     (scratch checkpoint under /tmp; at cluster scale this is the job's
     checkpoint directory, partitioned by band_hash range). A distributed
-    groupby-count over the parquet finds colliding buckets; only those
-    rows are paired. Estimated Jaccard (signature agreement) is attached
-    per DISTINCT pair from candidate-only signatures, then thresholded."""
+    groupby-count over the parquet finds colliding buckets — always
+    distributed, never a driver-side Counter over the corpus. Everything
+    AFTER that operates on collision-bounded data: the hot band rows,
+    candidate pairs, and candidate signatures are each ≤ a small multiple
+    of the result size, so the final pairing/est/sort runs in pandas/numpy
+    on the driver (the same size class as the returned Dataset itself).
+    """
     import ray
 
     scratch_root = "/tmp/rika_ray_scratch"
@@ -294,12 +349,16 @@ def minhash_lsh_pairs(
     _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashBandStage,
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
+        batch_size=256,
+        concurrency=pool_spec(),
         num_cpus=0.5,
         fn_constructor_kwargs={"seed": seed},
     ).write_parquet(scratch)
-    band_rows = ray.data.read_parquet(scratch)
+    # few fat blocks: Ray's sort-aggregate pays a large per-block constant,
+    # so a slim-row table wants block count ≈ pool width, not file count
+    band_rows = ray.data.read_parquet(
+        scratch, override_num_blocks=pool_spec()[1]
+    )
 
     # Pass 1 (8-byte keys only): colliding buckets via distributed
     # groupby-count. The hot set is collision-sized (≈ dup clusters), so
@@ -316,42 +375,43 @@ def minhash_lsh_pairs(
     hot_ref = ray.put(hot)
 
     # Pass 2 over the persisted band rows: keep hot-bucket rows via a
-    # vectorized pandas merge (no per-row membership loop), group, pair.
+    # vectorized pandas merge (no per-row membership loop). The surviving
+    # rows are collision-bounded — collect and pair them vectorized.
     def _keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.merge(ray.get(hot_ref), on=["band", "band_hash"])
 
-    pairs = (
-        band_rows.map_batches(_keep_hot, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pair_ids, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])  # distinct pairs (multi-band collisions)
-        .aggregate(Count(alias_name="_nb"))
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # candidate-pair-sized, not corpus-sized
+    hot_rows = (
+        band_rows.map_batches(_keep_hot, batch_format="pandas").to_pandas()
     )
-    pair_rows = pairs.take_all()
-    if not pair_rows:
+    pairs_df = _pairs_from_hot_rows(hot_rows)
+    if pairs_df.empty:
         return _empty_pairs("est_jaccard")
-    cand_ids = {r["doc_a"] for r in pair_rows} | {
-        r["doc_b"] for r in pair_rows
-    }
+
+    # Pass 3: signatures only for candidate docs; est per distinct pair.
+    cand_ids = set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])
     sigs = candidate_signatures(sf_dir, cand_ids, seed)
-    sigs_ref = ray.put(sigs)
-
-    def _attach_est(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(sigs_ref)
-        a = np.stack([lookup[d] for d in batch["doc_a"]])
-        b = np.stack([lookup[d] for d in batch["doc_b"]])
-        batch = batch.copy()
-        batch["est_jaccard"] = (a == b).mean(axis=1)
-        return batch
-
+    a = np.stack([sigs[d] for d in pairs_df["doc_a"]])
+    b = np.stack([sigs[d] for d in pairs_df["doc_b"]])
+    est = (a == b).mean(axis=1)
+    keep = est >= threshold
     out = (
-        pairs.map_batches(_attach_est, batch_format="pandas")
-        .filter(expr=f"est_jaccard >= {threshold}")
-        .sort(["doc_a", "doc_b"])
+        pairs_df[keep]
+        .assign(est_jaccard=est[keep])
+        .sort_values(["doc_a", "doc_b"])
     )
-    return _schema_stable(out, _empty_pairs("est_jaccard"))
+    if out.empty:
+        return _empty_pairs("est_jaccard")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
+                "est_jaccard": pa.array(
+                    out["est_jaccard"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -512,7 +572,7 @@ def verify_jaccard_pairs(
         _ShingleStage,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=pool_size(),
+        concurrency=pool_spec(),
         num_cpus=0.5,
         fn_constructor_kwargs={"doc_ids_ref": ids_ref},
     )
@@ -575,7 +635,7 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
             SimHashStage,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=pool_size(),
+            concurrency=pool_spec(),
             num_cpus=0.5,
         )
         .sort("doc_id")
@@ -638,7 +698,7 @@ def embedding_neardup_pairs(
             BucketStage,
             batch_format="pandas",
             batch_size=1024,
-            concurrency=pool_size(),
+            concurrency=pool_spec(),
             num_cpus=0.5,
         )
         .groupby("bucket")
@@ -717,7 +777,7 @@ def embedding_neardup_exact(
         ExactPairs,
         batch_format="pandas",
         batch_size=2048,
-        concurrency=pool_size(),
+        concurrency=pool_spec(),
         num_cpus=0.5,
     )
     return _schema_stable(empty.union(pairs).sort(["vec_a", "vec_b"]), empty)

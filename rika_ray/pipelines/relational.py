@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from rika_ray.functions.text import tokenize, tokenize_arrow
-from rika_ray.pool import pool_size
+from rika_ray.pool import pool_spec
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -218,7 +218,7 @@ def orders_per_segment(sf_dir: str) -> ray.data.Dataset:
     return (
         _rp(sf_dir, "orders", ["o_custkey"])
         .map_batches(SegmentJoin, batch_format="pandas", batch_size=65536,
-                     concurrency=pool_size(), num_cpus=0.5)
+                     concurrency=pool_spec(), num_cpus=0.5)
         .groupby("c_mktsegment")
         .aggregate(Sum("n", alias_name="n"))
         .sort("c_mktsegment")
@@ -248,7 +248,7 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     return (
         _rp(sf_dir, "customer", ["c_nationkey"])
         .map_batches(RegionJoin, batch_format="pandas",
-                     concurrency=pool_size(), num_cpus=0.5)
+                     concurrency=pool_spec(), num_cpus=0.5)
         .groupby("r_name")
         .aggregate(Count(alias_name="n"))
         .sort("r_name")

@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from rika_ray.pool import pool_size
+from rika_ray.pool import pool_spec
 
 
 def _embeddings(sf_dir: str):
@@ -64,7 +64,7 @@ def ann_topk_bruteforce(
 
     candidates = _embeddings(sf_dir).map_batches(
         LocalTopK, batch_format="pandas", batch_size=4096,
-        concurrency=pool_size(), num_cpus=0.5
+        concurrency=pool_spec(), num_cpus=0.5
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +133,7 @@ def ann_topk_lsh(
 
     candidates = _embeddings(sf_dir).map_batches(
         BucketTopK, batch_format="pandas", batch_size=4096,
-        concurrency=pool_size(), num_cpus=0.5
+        concurrency=pool_spec(), num_cpus=0.5
     )
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

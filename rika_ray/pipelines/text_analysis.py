@@ -19,7 +19,7 @@ from rika_ray.functions.text import (
     tokenize,
     tokenize_arrow,
 )
-from rika_ray.pool import pool_size
+from rika_ray.pool import pool_spec
 
 
 def _docs(sf_dir: str, columns):
@@ -133,7 +133,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(
             QualityScorer, batch_format="pyarrow", batch_size=1024,
-            concurrency=pool_size(), num_cpus=0.5,
+            concurrency=pool_spec(), num_cpus=0.5,
         )
         .sort("doc_id")
     )
@@ -154,7 +154,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
         .map_batches(_prep, batch_format="pyarrow")
         .map_batches(
             LangDetectStage, batch_format="pyarrow", batch_size=1024,
-            concurrency=pool_size(), num_cpus=0.5,
+            concurrency=pool_spec(), num_cpus=0.5,
         )
     )
     return ds.select_columns(["doc_id", "language"]).sort("doc_id")

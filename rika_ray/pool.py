@@ -28,6 +28,18 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
+def pool_spec(
+    per_cpu: float = 0.5, *, floor: int = 2, cap: int | None = None
+) -> tuple[int, int]:
+    """Autoscaling pool bounds ``(floor, pool_size(...))`` for
+    ``map_batches(concurrency=...)``: short inputs pay only ``floor``
+    actors of startup, large inputs scale to the CPU-proportional cap.
+    Use this for the auxiliary pipelines; fixed ``pool_size()`` only where
+    the stage is known to saturate the pool immediately (extraction)."""
+    hi = pool_size(per_cpu, floor=floor, cap=cap)
+    return (min(floor, hi), hi)
+
+
 def pool_size(
     per_cpu: float = 0.5, *, floor: int = 2, cap: int | None = None
 ) -> int:
