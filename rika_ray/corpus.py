@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -281,6 +281,61 @@ def generate_corpus(
             language="fr",
             extra_metadata={"Content-Encoding": "ISO-8859-1"},
             claimed_lang="fr",
+        )
+
+    # --- plain_legacy_*: real legacy encodings detected by frequency/
+    # structure heuristics (M2 depth; Tika analogue: ICU charset detector,
+    # reported through content_type per spec/rika/parser_spec.rb:225-227)
+    for cs_name, codec, lang_code, tail in (
+        ("windows-1251", "cp1251", "ru", " Хлеб и газеты.\n"),
+        ("KOI8-R", "koi8-r", "ru", " Дождь шёл ночью.\n"),
+        # the cp1252-only tail (curly quotes, dash, euro) exercises the
+        # 0x80-0x9F typographic block that separates cp1252 from latin-1
+        ("windows-1252", "cp1252", "fr", " — «déjà vu» coûte 5 €.\n"),
+    ):
+        fam = "plain-" + cs_name.lower().replace("windows-", "win")
+        for _ in range(max(2, n_per_family)):
+            gen = (
+                _paragraph(rng, WORD_POOL[lang_code], rng.randint(3, 6))
+                + tail
+            )
+            b.add(
+                fam,
+                gen.encode(codec),
+                content=gen,
+                content_type=f"text/plain; charset={cs_name}",
+                media_type="text/plain",
+                charset=cs_name,
+                language=lang_code,
+                extra_metadata={"Content-Encoding": cs_name},
+                claimed_lang=lang_code,
+            )
+
+    # --- plain_shiftjis: Japanese text — charset detected structurally,
+    # language UNDETERMINED (out-of-model script, certainty-floor policy)
+    _JA_SENTENCES = [
+        "朝の駅は電車の音で始まります。",
+        "人々はパンと新聞を持って歩きます。",
+        "昼には広場が学生でいっぱいになります。",
+        "夜になると街はまた静かになります。",
+        "雨は夜のあいだに降りました。",
+    ]
+    for k in range(max(2, n_per_family)):
+        gen = (
+            "".join(
+                _JA_SENTENCES[(k + j) % len(_JA_SENTENCES)] for j in range(3)
+            )
+            + f"記事番号 {k}。\n"
+        )
+        b.add(
+            "plain-shiftjis",
+            gen.encode("shift_jis"),
+            content=gen,
+            content_type="text/plain; charset=Shift_JIS",
+            media_type="text/plain",
+            charset="Shift_JIS",
+            language=None,
+            extra_metadata={"Content-Encoding": "Shift_JIS"},
         )
 
     # --- html_boilerplate: nav/sidebar/footer around planted article

@@ -80,6 +80,68 @@ _SEED_TEXT = {
         "ступенях и говорят о новостях дня. Когда наступает вечер, лампы "
         "зажигаются одна за другой и улицы снова становятся тихими."
     ),
+    "pt": (
+        "Na cidade as manhãs começam com o som dos comboios e a abertura "
+        "lenta das pequenas lojas ao longo da rua principal. As pessoas "
+        "carregam pão e jornais, e o ar cheira à chuva que caiu durante a "
+        "noite. Ao meio-dia as praças estão cheias de estudantes e "
+        "funcionários que almoçam nos degraus de pedra e falam das "
+        "notícias do dia. Quando chega a tarde as lâmpadas acendem-se uma "
+        "a uma e as ruas voltam a ficar tranquilas."
+    ),
+    "it": (
+        "In città le mattine cominciano con il suono dei treni e la lenta "
+        "apertura dei piccoli negozi lungo la via principale. La gente "
+        "porta pane e giornali, e l'aria profuma della pioggia caduta "
+        "durante la notte. Verso mezzogiorno le piazze sono piene di "
+        "studenti e impiegati che pranzano sui gradini di pietra e "
+        "parlano delle notizie del giorno. Quando arriva la sera le "
+        "lampade si accendono una dopo l'altra e le strade tornano "
+        "tranquille."
+    ),
+    "nl": (
+        "In de stad beginnen de ochtenden met het geluid van treinen en "
+        "het langzame openen van de kleine winkels langs de hoofdstraat. "
+        "Mensen dragen brood en kranten, en de lucht ruikt naar de regen "
+        "die in de nacht is gevallen. Tegen de middag zijn de pleinen vol "
+        "studenten en kantoormedewerkers die op de stenen treden lunchen "
+        "en over het nieuws van de dag praten. Als de avond komt worden "
+        "de lampen een voor een aangestoken en worden de straten weer "
+        "stil."
+    ),
+    "pl": (
+        "W mieście poranki zaczynają się od dźwięku pociągów i powolnego "
+        "otwierania małych sklepów wzdłuż głównej ulicy. Ludzie niosą "
+        "chleb i gazety, a powietrze pachnie deszczem, który padał w "
+        "nocy. W południe place są pełne studentów i urzędników, którzy "
+        "jedzą obiad na kamiennych stopniach i rozmawiają o wiadomościach "
+        "dnia. Gdy nadchodzi wieczór, lampy zapalają się jedna po drugiej "
+        "i ulice znów stają się ciche."
+    ),
+    "sv": (
+        "I staden börjar morgnarna med ljudet av tåg och det långsamma "
+        "öppnandet av de små butikerna längs huvudgatan. Människor bär "
+        "bröd och tidningar, och luften doftar av regnet som föll under "
+        "natten. Vid middagstid är torgen fulla av studenter och "
+        "kontorsarbetare som äter lunch på stentrapporna och pratar om "
+        "dagens nyheter. När kvällen kommer tänds lamporna en efter en "
+        "och gatorna blir stilla igen."
+    ),
+}
+
+# Function-word inventories for the languages without a corpus WORD_POOL —
+# the strongest trigram signal, mirroring the pool boost below.
+_FUNCTION_WORDS = {
+    "pt": "o a os as um uma de do da em no na para com não que se por é "
+          "são mais como mas ou seu sua este esta isso ele ela nós eles",
+    "it": "il lo la i gli le un una di del della in nel nella per con non "
+          "che si da è sono più come ma o suo sua questo questa ciò lui",
+    "nl": "de het een van in op voor met niet dat zich door is zijn meer "
+          "zoals maar of hun dit deze dat hij zij wij jullie ook naar",
+    "pl": "w na do z i nie że się po o jest są bardziej jak ale lub jego "
+          "jej ten ta to on ona my oni też przez od dla przy były być",
+    "sv": "den det en ett av i på för med inte att sig genom är var mer "
+          "som men eller deras den här denna han hon vi de också till",
 }
 
 
@@ -108,9 +170,11 @@ def build_profiles(extra_seed: dict[str, str] | None = None) -> "NBClassifier":
         for k, v in extra_seed.items():
             seeds[k] = seeds.get(k, "") + " " + v
     for lang_code in list(seeds):
+        # function words are the strongest n-gram signal; weight them in
         if lang_code in WORD_POOL:
-            # function words are the strongest n-gram signal; weight them in
             seeds[lang_code] += " " + " ".join(WORD_POOL[lang_code]) * 3
+        elif lang_code in _FUNCTION_WORDS:
+            seeds[lang_code] += " " + _FUNCTION_WORDS[lang_code] * 3
     return NBClassifier(seeds)
 
 
@@ -146,7 +210,10 @@ class NBClassifier:
             self.logp[:, li] = col
             self.floor[li] = np.log(1.0 / total)
 
-    def best(self, text_counts) -> str:
+    def scored(self, text_counts) -> tuple[str, float]:
+        """(best language, mean per-gram log-probability). The mean is the
+        certainty signal: out-of-model scripts hit the unseen-gram floor
+        on every trigram and score far below any in-model text."""
         import numpy as np
 
         ids, cnts = [], []
@@ -162,13 +229,26 @@ class NBClassifier:
         totals = (
             self.logp[ids] * np.asarray(cnts, dtype=np.float32)[:, None]
         ).sum(axis=0) + n_miss * self.floor
-        return self.langs[int(totals.argmax())]
+        li = int(totals.argmax())
+        n_grams = max(1, sum(cnts) + n_miss)
+        return self.langs[li], float(totals[li]) / n_grams
+
+    def best(self, text_counts) -> str:
+        return self.scored(text_counts)[0]
+
+
+# Certainty floor (reference: the Optimaize detector is certainty-
+# thresholded, lib/rika.rb:58-61). Calibrated on this model: in-model text
+# scores ≥ -7.8 mean log-prob per trigram; out-of-model scripts (CJK,
+# Arabic, Greek, ...) hit the unseen-gram floor everywhere and score -8.1.
+MIN_MEAN_LOGPROB = -7.95
 
 
 def detect_language(
     text: str | None, profiles: "NBClassifier"
 ) -> str | None:
-    """ISO 639-1 code, or None when undetermined (too-short input)."""
+    """ISO 639-1 code, or None when undetermined (too-short input or
+    below the model's certainty floor — e.g. out-of-model scripts)."""
     if text is None:
         return None
     stripped = text.strip()
@@ -177,7 +257,10 @@ def detect_language(
     counts = _trigram_counts(stripped, _DETECT_PREFIX)
     if not counts:
         return None
-    return profiles.best(counts)
+    lang, mean_lp = profiles.scored(counts)
+    if mean_lp < MIN_MEAN_LOGPROB:
+        return None
+    return lang
 
 
 _TASK_PROFILES = None

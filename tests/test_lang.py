@@ -32,3 +32,47 @@ def test_undetermined_cases():
     assert detect_language("", profiles) is None
     assert detect_language(None, profiles) is None
     assert detect_language("   \n  ", profiles) is None
+
+
+def test_ten_language_breadth_on_novel_text():
+    """Out-of-sample sentences (not in any seed) for every profiled
+    language, including the five added beyond the reference fixtures."""
+    profiles = build_profiles()
+    novel = {
+        "pt": "O comboio chegou atrasado à estação e os passageiros "
+              "esperavam com os seus bilhetes na mão, enquanto a chuva "
+              "caía sobre a plataforma de madeira.",
+        "it": "Il treno è arrivato in ritardo alla stazione e i "
+              "passeggeri aspettavano con i loro biglietti in mano, "
+              "mentre la pioggia cadeva sulla piattaforma di legno.",
+        "nl": "De trein kwam te laat aan op het station en de reizigers "
+              "wachtten met hun kaartjes in de hand, terwijl de regen op "
+              "het houten perron viel.",
+        "pl": "Pociąg przyjechał na stację z opóźnieniem, a pasażerowie "
+              "czekali z biletami w rękach, podczas gdy deszcz padał na "
+              "drewniany peron.",
+        "sv": "Tåget kom försenat till stationen och resenärerna väntade "
+              "med sina biljetter i handen, medan regnet föll över den "
+              "gamla träperrongen.",
+        "en": "The train arrived late at the station and the passengers "
+              "waited with their tickets in hand while the rain fell.",
+        "ru": "Поезд прибыл на станцию с опозданием, и пассажиры ждали "
+              "с билетами в руках, пока дождь падал на платформу.",
+    }
+    for expect, text in novel.items():
+        assert detect_language(text, profiles) == expect, expect
+
+
+def test_out_of_model_script_is_undetermined():
+    """Certainty floor: long in-length but out-of-model text (Japanese,
+    Chinese, Arabic, Greek) must yield None, never a forced bin —
+    reference analogue: Optimaize's certainty threshold
+    (/root/reference/lib/rika.rb:58-61)."""
+    profiles = build_profiles()
+    for text in (
+        "これは日本語のテキストです。言語検出器はこれを未確定として扱うべきです。",
+        "这是中文文本。语言检测器应该把它当作未确定。城市的早晨从火车的声音开始。",
+        "هذا نص باللغة العربية ويجب أن يعامله كاشف اللغة على أنه غير محدد تماما.",
+        "Αυτό είναι ελληνικό κείμενο και ο ανιχνευτής γλώσσας πρέπει να το θεωρήσει απροσδιόριστο.",
+    ):
+        assert detect_language(text, profiles) is None, text[:20]

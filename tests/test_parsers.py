@@ -243,3 +243,51 @@ def test_html_script_with_fake_tags():
     content, _, _ = extract_html(html)
     assert "not content" not in content
     assert "Real content" in content
+
+
+def test_legacy_charset_detection():
+    """M2 depth: frequency/structure detection of real legacy encodings,
+    reported like Tika's ICU detector (content_type charset parameter,
+    /root/reference/spec/rika/parser_spec.rb:225-227)."""
+    from rika_ray.stages.charset import detect_charset, decode_text
+
+    cases = [
+        ("привет мир это русский текст для проверки кодировок",
+         "cp1251", "windows-1251"),
+        ("привет мир это русский текст для проверки кодировок",
+         "koi8-r", "KOI8-R"),
+        ("Привет Мир Смешанный Регистр русского текста",
+         "cp1251", "windows-1251"),
+        ("Привет Мир Смешанный Регистр русского текста",
+         "koi8-r", "KOI8-R"),
+        ("L'été à Paris — c'est « magnifique », n'est-ce pas ? 5 €",
+         "cp1252", "windows-1252"),
+        ("voilà une phrase française avec des accents très ordinaire",
+         "latin-1", "ISO-8859-1"),
+        ("こんにちは世界、これは日本語のテキストです。", "shift_jis", "Shift_JIS"),
+        # mostly-ASCII page with a few pure-Cyrillic words still detects
+        ("see наша page for details about товар and среда conditions",
+         "cp1251", "windows-1251"),
+        ("Müller straße größe fünf häuser schöne grüße", "latin-1",
+         "ISO-8859-1"),
+    ]
+    for text, codec, expected in cases:
+        data = text.encode(codec)
+        assert detect_charset(data) == expected, (codec, expected)
+        decoded, cs = decode_text(data)
+        assert decoded == text and cs == expected
+
+
+def test_legacy_charset_fuzz_total():
+    """detect/decode never raise on arbitrary bytes (the M1-style totality
+    property extended to M2)."""
+    import random
+
+    from rika_ray.stages.charset import decode_text, detect_charset
+
+    rng = random.Random(11)
+    for _ in range(200):
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        cs = detect_charset(b)
+        text, cs2 = decode_text(b)
+        assert cs == cs2 and isinstance(text, str)
