@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -407,6 +407,39 @@ def generate_corpus(
             claimed_lang="en",
         )
 
+    # --- pdf_xrefstream: PDF 1.5 layout (cross-reference STREAM +
+    # compressed object streams; M5 depth — the most common modern-PDF
+    # structure). Same extraction spec as pdf_simple.
+    for _ in range(max(2, n_per_family)):
+        n_pages = rng.randint(1, 3)
+        pages = [
+            [
+                _sentence(rng, WORD_POOL["en"], rng.randint(5, 9))
+                for _ in range(rng.randint(3, 6))
+            ]
+            for _ in range(n_pages)
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_pdf_xrefstream(
+            pages, title=title, author="Robert Frost"
+        )
+        b.add(
+            "pdf-xrefstream",
+            payload,
+            content=docgen.expected_pdf_content(pages),
+            content_type="application/pdf",
+            media_type="application/pdf",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:creator": "Robert Frost",
+                "dc:title": title,
+                "pdf:producer": "rika-ray synthetic",
+                "xmpTPg:NPages": str(n_pages),
+            },
+            claimed_lang="en",
+        )
+
     # --- docx: generated OOXML word documents
     for _ in range(max(2, n_per_family)):
         paras = [
@@ -602,6 +635,24 @@ def generate_corpus(
     # --- corrupt PDFs → parse_error rows, no abort (§2.8 error-as-data)
     for k in range(2):
         payload = b"%PDF-1.4\n" + bytes(rng.getrandbits(8) for _ in range(200 + k))
+        b.add(
+            "corrupt-pdf",
+            payload,
+            content=None,
+            content_type=None,
+            media_type="application/pdf",
+            charset=None,
+            language=None,
+            error_type="parse_error",
+        )
+
+    # --- corrupt xref-stream PDFs: structurally modern but damaged
+    # (truncated / predictor-row corruption) → parse_error
+    good = docgen.build_pdf_xrefstream([["Corrupt target line."]])
+    for payload in (
+        good[: len(good) * 2 // 3],
+        good.replace(b"/Predictor 12", b"/Predictor 99"),
+    ):
         b.add(
             "corrupt-pdf",
             payload,

@@ -102,6 +102,143 @@ def build_pdf(
     return out.getvalue()
 
 
+def _png_up_encode(data: bytes, columns: int) -> bytes:
+    """Encode rows with the PNG Up predictor (type 2) — the row encoding
+    real PDF writers use for xref streams (/Predictor 12)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf_xrefstream(
+    pages: list[list[str]],
+    title: str = "",
+    author: str = "",
+    producer: str = "rika-ray synthetic",
+) -> bytes:
+    """A PDF 1.5-layout file: catalog/pages/page/font/info objects packed
+    into a compressed object stream (/Type/ObjStm), FlateDecode content
+    streams as raw objects, and a /Type/XRef cross-reference STREAM
+    (W-encoded entries, FlateDecode + PNG Up predictor) instead of the
+    classic xref table + trailer keyword. Same extracted text as
+    ``build_pdf`` — ``expected_pdf_content`` applies unchanged."""
+    n_pages = len(pages)
+    # object numbers: 1=Catalog 2=Pages 3..=Page, then content streams,
+    # font, info (all in the ObjStm except content streams), then the
+    # ObjStm container and the XRef stream itself
+    page_nums = [3 + i for i in range(n_pages)]
+    content_nums = [3 + n_pages + i for i in range(n_pages)]
+    font_num = 3 + 2 * n_pages
+    info_num = font_num + 1
+    objstm_num = info_num + 1
+    xref_num = objstm_num + 1
+
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    compressed_members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+    ]
+    for pnum, cnum in zip(page_nums, content_nums):
+        compressed_members.append(
+            (
+                pnum,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {cnum} 0 R /Resources << /Font << /F1 "
+                    f"{font_num} 0 R >> >> >>"
+                ).encode(),
+            )
+        )
+    compressed_members.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    info_parts = []
+    if title:
+        info_parts.append(f"/Title ({_pdf_escape(title)})")
+    if author:
+        info_parts.append(f"/Author ({_pdf_escape(author)})")
+    info_parts.append(f"/Producer ({_pdf_escape(producer)})")
+    compressed_members.append(
+        (info_num, f"<< {' '.join(info_parts)} >>".encode())
+    )
+
+    # ObjStm body: header of (objnum offset) pairs, then the members
+    body = bytearray()
+    header_pairs = []
+    for onum, ser in compressed_members:
+        header_pairs.append(f"{onum} {len(body)}")
+        body += ser + b" "
+    header = (" ".join(header_pairs) + " ").encode()
+    objstm_plain = header + bytes(body)
+    objstm_z = zlib.compress(objstm_plain)
+    objstm_obj = (
+        f"<< /Type /ObjStm /N {len(compressed_members)} /First "
+        f"{len(header)} /Length {len(objstm_z)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + objstm_z + b"\nendstream"
+
+    raw_objects: dict[int, bytes] = {objstm_num: objstm_obj}
+    for i, cnum in enumerate(content_nums):
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(pages[i]):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_pdf_escape(line)}) Tj")
+        ops.append("ET")
+        stream = zlib.compress("\n".join(ops).encode("ascii"))
+        raw_objects[cnum] = (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n"
+            + stream
+            + b"\nendstream"
+        )
+
+    out = BytesIO()
+    out.write(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(raw_objects):
+        offsets[num] = out.tell()
+        out.write(f"{num} 0 obj\n".encode())
+        out.write(raw_objects[num])
+        out.write(b"\nendobj\n")
+
+    # XRef stream: W [1 2 2]; entries 0..size-1
+    xref_offset = out.tell()
+    offsets[xref_num] = xref_offset
+    size = xref_num + 1
+    rows = bytearray()
+
+    def _row(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+
+    member_index = {onum: i for i, (onum, _) in enumerate(compressed_members)}
+    for objnum in range(size):
+        if objnum == 0:
+            rows += _row(0, 0, 0xFFFF)  # free-list head
+        elif objnum in member_index:
+            rows += _row(2, objstm_num, member_index[objnum])
+        elif objnum in offsets:
+            rows += _row(1, offsets[objnum], 0)
+        else:
+            rows += _row(0, 0, 0)
+    encoded = zlib.compress(_png_up_encode(bytes(rows), columns=5))
+    xref_dict = (
+        f"<< /Type /XRef /Size {size} /W [1 2 2] /Index [0 {size}] "
+        f"/Root 1 0 R /Info {info_num} 0 R /Length {len(encoded)} "
+        f"/Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 5 >> >>"
+    ).encode()
+    out.write(f"{xref_num} 0 obj\n".encode())
+    out.write(xref_dict)
+    out.write(b"\nstream\n" + encoded + b"\nendstream\nendobj\n")
+    out.write(f"startxref\n{xref_offset}\n%%EOF\n".encode())
+    return out.getvalue()
+
+
 def expected_pdf_content(pages: list[list[str]]) -> str:
     """The normative text-layout spec for our PDF extractor: leading newline
     (mirroring the reference's PDF whitespace quirk,

@@ -10,7 +10,11 @@ This is a from-scratch minimal PDF parser scoped to the document class our
 corpus generator emits (SURVEY.md §7 risk note: "scope to the subset the
 corpus generator emits; never claim general-PDF coverage"):
 
-- classic xref layout, uncompressed or FlateDecode content streams,
+- classic xref layout AND PDF 1.5+ cross-reference streams
+  (``/Type/XRef`` with /W field widths, /Index ranges, FlateDecode +
+  PNG-predictor row encoding, /Prev chains) with compressed object
+  streams (``/Type/ObjStm``) expanded into the object store,
+- uncompressed or FlateDecode content streams,
 - text shown with ``Tj`` / ``'`` / ``"`` / ``TJ`` operators, literal and
   hex strings, page tree via /Root → /Pages → /Kids.
 
@@ -208,6 +212,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
         self._scan_objects()
+        self._expand_object_streams()
         self.trailer = self._parse_trailer()
 
     def _scan_objects(self) -> None:
@@ -250,17 +255,182 @@ class PdfDocument:
             return lex.parse_object()
         return None
 
+    def _decode_stream(self, obj: dict, stream: bytes) -> bytes:
+        """Apply /Filter chain (+ /DecodeParms PNG predictors) to a raw
+        stream body."""
+        filt = self.resolve(obj.get("/Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        parms = self.resolve(obj.get("/DecodeParms"))
+        parms_list = (
+            parms if isinstance(parms, list) else ([parms] if parms else [])
+        )
+        for i, f in enumerate(filters):
+            if f == "/FlateDecode":
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error as e:
+                    raise PdfParseError(f"flate error: {e}") from None
+            else:
+                raise PdfParseError(f"unsupported filter {f}")
+            p = parms_list[i] if i < len(parms_list) else None
+            p = self.resolve(p)
+            if isinstance(p, dict):
+                pred = self.resolve(p.get("/Predictor", 1)) or 1
+                if 10 <= pred <= 15:  # PNG row predictors
+                    stream = _apply_png_predictor(
+                        stream,
+                        columns=int(self.resolve(p.get("/Columns", 1)) or 1),
+                        colors=int(self.resolve(p.get("/Colors", 1)) or 1),
+                        bpc=int(
+                            self.resolve(p.get("/BitsPerComponent", 8)) or 8
+                        ),
+                    )
+                elif pred != 1:
+                    raise PdfParseError(f"unsupported predictor {pred}")
+        return stream
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5 compressed object streams (/Type/ObjStm): N (objnum,
+        offset) header pairs at the stream head, serialized objects from
+        /First. Members join the object store (raw-scanned objects win on
+        number clashes)."""
+        for num, (obj, stream) in list(self.objects.items()):
+            if not (
+                isinstance(obj, dict)
+                and obj.get("/Type") == "/ObjStm"
+                and stream is not None
+            ):
+                continue
+            data = self._decode_stream(obj, stream)
+            n = self.resolve(obj.get("/N"))
+            first = self.resolve(obj.get("/First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise PdfParseError("ObjStm missing /N or /First")
+            lex = _Lexer(data)
+            pairs = []
+            for _ in range(n):
+                onum = lex.parse_object()
+                ooff = lex.parse_object()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise PdfParseError("bad ObjStm header pair")
+                pairs.append((onum, ooff))
+            for onum, ooff in pairs:
+                if onum in self.objects:
+                    continue
+                member = _Lexer(data, first + ooff).parse_object()
+                self.objects[onum] = (member, None)
+
     def _parse_trailer(self) -> dict:
         m = None
         for m in _TRAILER_RE.finditer(self.data):
             pass
-        if m is None:
-            raise PdfParseError("no trailer")
-        lex = _Lexer(self.data, m.end())
-        t = lex.parse_object()
-        if not isinstance(t, dict):
-            raise PdfParseError("bad trailer")
-        return t
+        if m is not None:
+            lex = _Lexer(self.data, m.end())
+            t = lex.parse_object()
+            if not isinstance(t, dict):
+                raise PdfParseError("bad trailer")
+            return t
+        # PDF 1.5+ layout: no `trailer` keyword — the cross-reference
+        # STREAM's dict is the trailer. Follow startxref to it, decode its
+        # W-encoded entry table (validates the layout and locates
+        # compressed objects), and merge /Prev chains (newest wins).
+        return self._parse_xref_stream_trailer()
+
+    def _parse_xref_stream_trailer(self) -> dict:
+        idx = self.data.rfind(b"startxref")
+        if idx < 0:
+            raise PdfParseError("no trailer and no startxref")
+        m = re.match(rb"startxref\s+(\d+)", self.data[idx:])
+        if not m:
+            raise PdfParseError("malformed startxref")
+        offset = int(m.group(1))
+        merged: dict = {}
+        seen_offsets: set[int] = set()
+        while True:
+            if offset in seen_offsets or len(seen_offsets) > 32:
+                raise PdfParseError("xref /Prev cycle")
+            seen_offsets.add(offset)
+            om = _OBJ_RE.match(self.data, offset) or _OBJ_RE.search(
+                self.data, offset, offset + 64
+            )
+            if om is None:
+                raise PdfParseError(f"no xref stream object at {offset}")
+            num = int(om.group(1))
+            obj, stream = self.objects.get(num, (None, None))
+            if not (
+                isinstance(obj, dict)
+                and obj.get("/Type") == "/XRef"
+                and stream is not None
+            ):
+                raise PdfParseError(f"object at {offset} is not /Type/XRef")
+            self._check_xref_entries(obj, stream)
+            for k, v in obj.items():
+                merged.setdefault(k, v)
+            prev = obj.get("/Prev")
+            if not isinstance(prev, int):
+                break
+            offset = prev
+        if "/Root" not in merged:
+            raise PdfParseError("xref stream trailer has no /Root")
+        return merged
+
+    def _check_xref_entries(self, obj: dict, stream: bytes) -> None:
+        """Decode the W-encoded entry table and validate that every
+        referenced object is present (type 1 → raw object exists at some
+        scanned position; type 2 → ObjStm member already expanded)."""
+        data = self._decode_stream(obj, stream)
+        w = self.resolve(obj.get("/W"))
+        size = self.resolve(obj.get("/Size"))
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and x >= 0 for x in w)
+        ):
+            raise PdfParseError("bad /W in xref stream")
+        index = self.resolve(obj.get("/Index"))
+        if index is None:
+            index = [0, size]
+        if not isinstance(index, list) or len(index) % 2:
+            raise PdfParseError("bad /Index in xref stream")
+        row_len = sum(w)
+        if row_len == 0 or len(data) % row_len:
+            raise PdfParseError("xref stream data not a multiple of /W row")
+        rows = [
+            data[i : i + row_len] for i in range(0, len(data), row_len)
+        ]
+        expected_rows = sum(index[i + 1] for i in range(0, len(index), 2))
+        if len(rows) < expected_rows:
+            raise PdfParseError("xref stream shorter than /Index claims")
+        ri = 0
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            for objnum in range(start, start + count):
+                row = rows[ri]
+                ri += 1
+                pos = 0
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[pos : pos + width], "big")
+                        if width
+                        else 1  # omitted type field defaults to 1
+                    )
+                    pos += width
+                etype = fields[0]
+                if etype == 1 and objnum not in self.objects:
+                    raise PdfParseError(
+                        f"xref names missing object {objnum}"
+                    )
+                if etype == 2:
+                    container = fields[1]
+                    if container not in self.objects:
+                        raise PdfParseError(
+                            f"xref names missing ObjStm {container}"
+                        )
+                    if objnum not in self.objects:
+                        raise PdfParseError(
+                            f"ObjStm {container} missing member {objnum}"
+                        )
 
     def resolve(self, obj):
         seen = 0
@@ -283,18 +453,9 @@ class PdfDocument:
         obj, stream = self.objects[num]
         if stream is None:
             raise PdfParseError(f"object {num} has no stream")
-        filt = obj.get("/Filter") if isinstance(obj, dict) else None
-        filt = self.resolve(filt)
-        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
-            if f == "/FlateDecode":
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error as e:
-                    raise PdfParseError(f"flate error: {e}") from None
-            else:
-                raise PdfParseError(f"unsupported filter {f}")
-        return stream
+        if not isinstance(obj, dict):
+            raise PdfParseError(f"object {num} stream without dict")
+        return self._decode_stream(obj, stream)
 
     def pages(self) -> list[dict]:
         root = self.resolve(self.trailer.get("/Root"))
@@ -335,6 +496,50 @@ class PdfDocument:
             if isinstance(v, bytes):
                 out[k] = _decode_pdf_string(v)
         return out
+
+
+def _apply_png_predictor(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Undo PNG row predictors (PDF /Predictor 10-15): each row is one
+    filter-type byte + `columns*colors*bpc/8` data bytes; types 0-4 =
+    None/Sub/Up/Average/Paeth over the previous row/byte."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    stride = row_len + 1
+    if row_len <= 0 or len(data) % stride:
+        raise PdfParseError("predictor data not a multiple of row length")
+    out = bytearray()
+    prev = bytearray(row_len)
+    for r in range(0, len(data), stride):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PdfParseError(f"unknown PNG predictor row type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _decode_pdf_string(b: bytes) -> str:

@@ -44,7 +44,7 @@ def test_error_rows_marked(corpus_tables):
         by_err.setdefault(r["error_type"], []).append(r)
     assert len(by_err[None]) > 0
     assert len(by_err["empty_file"]) == 2
-    assert len(by_err["parse_error"]) == 2
+    assert len(by_err["parse_error"]) == 4  # 2 random-bytes + 2 corrupt xref-stream
     for r in by_err["empty_file"] + by_err["parse_error"]:
         assert r["content"] is None
         assert r["metadata"] is None

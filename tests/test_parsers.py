@@ -291,3 +291,30 @@ def test_legacy_charset_fuzz_total():
         cs = detect_charset(b)
         text, cs2 = decode_text(b)
         assert cs == cs2 and isinstance(text, str)
+
+
+def test_pdf_xref_stream_layout():
+    """M5 depth: PDF 1.5 cross-reference streams + compressed object
+    streams extract identically to the classic layout."""
+    from rika_ray import docgen
+    from rika_ray.stages.pdf_extract import PdfParseError, extract_pdf
+
+    import pytest as _pytest
+
+    pages = [["Alpha one.", "Alpha two."], ["Beta one."]]
+    modern = docgen.build_pdf_xrefstream(pages, title="T", author="A")
+    classic = docgen.build_pdf(pages, title="T", author="A", compress=True)
+    mc, ms, mm = extract_pdf(modern)
+    cc, cs_, cm = extract_pdf(classic)
+    assert mc == cc == docgen.expected_pdf_content(pages)
+    assert mm["dc:title"] == cm["dc:title"] == "T"
+    assert b"trailer" not in modern  # genuinely the modern layout
+
+    for corrupt in (
+        modern[: len(modern) * 2 // 3],
+        modern.replace(b"/Predictor 12", b"/Predictor 99"),
+        modern.replace(b"/W [1 2 2]", b"/W [1 2 3]"),
+        modern.replace(b"startxref", b"startxrEf"),
+    ):
+        with _pytest.raises(PdfParseError):
+            extract_pdf(corrupt)
