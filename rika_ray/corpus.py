@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -479,6 +479,26 @@ def generate_corpus(
         payload = docgen.build_doc(paras)
         b.add(
             "doc",
+            payload,
+            content=docgen.expected_doc_content(paras),
+            content_type="application/msword",
+            media_type="application/msword",
+            charset=None,
+            language="en",
+            claimed_lang="en",
+        )
+
+    # --- doc_piecetable: complex/incremental-save legacy Word (piece
+    # table in the 0Table stream, out-of-order mixed-encoding pieces —
+    # the predominant real-world .doc layout; M6 depth)
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 4))
+        ]
+        payload = docgen.build_doc_piecetable(paras)
+        b.add(
+            "doc-piecetable",
             payload,
             content=docgen.expected_doc_content(paras),
             content_type="application/msword",

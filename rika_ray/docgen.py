@@ -422,6 +422,110 @@ def build_doc(paragraphs: list[str]) -> bytes:
     return bytes(header) + fat_bytes + directory + bytes(stream)
 
 
+def _build_cfb(streams: dict[str, bytes]) -> bytes:
+    """Generic small CFB container: sector 0 = FAT, sector 1 = directory,
+    then the streams back to back. Fits ≤3 named streams / ~60 KB total
+    (single FAT sector) — plenty for synthetic documents."""
+    sector = 512
+    names = list(streams)
+    if len(names) > 3:
+        raise ValueError("small CFB builder supports ≤3 streams")
+    fat = [_FATSECT, _ENDOFCHAIN]
+    dir_entries = [_cfb_dir_entry("Root Entry", 5, _ENDOFCHAIN, 0)]
+    payload = b""
+    next_sid = 2
+    for name in names:
+        data = streams[name]
+        if len(data) < 4096:
+            # pad to the mini-stream cutoff so the stream stays in the
+            # regular FAT (this builder has no miniFAT)
+            data = data + b"\x00" * (4096 - len(data))
+        n_sec = (len(data) + sector - 1) // sector
+        data = data + b"\x00" * (n_sec * sector - len(data))
+        dir_entries.append(_cfb_dir_entry(name, 2, next_sid, len(data)))
+        for i in range(n_sec):
+            fat.append(
+                next_sid + i + 1 if i < n_sec - 1 else _ENDOFCHAIN
+            )
+        next_sid += n_sec
+        payload += data
+    if len(fat) > sector // 4:
+        raise ValueError("streams too large for single-FAT-sector CFB")
+    fat += [_FREESECT] * (sector // 4 - len(fat))
+    directory = b"".join(dir_entries)
+    directory += b"\x00" * (sector - len(directory) % sector)
+
+    header = bytearray(512)
+    header[0:8] = _CFB_MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 3)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, 1)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, _ENDOFCHAIN)
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, 0)
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
+    fat_bytes = b"".join(struct.pack("<I", v) for v in fat)
+    return bytes(header) + fat_bytes + directory + payload
+
+
+def build_doc_piecetable(paragraphs: list[str]) -> bytes:
+    """A piece-table (complex/incremental-save) legacy .doc — the layout
+    real-world Word files predominantly use: FIB with fComplex set,
+    fcClx/lcbClx (FIB 0x1A2/0x1A6) pointing at a Pcdt CLX in the 0Table
+    stream, text split into three pieces stored PHYSICALLY OUT OF ORDER in
+    WordDocument, alternating UTF-16 and fCompressed-cp1252 encodings —
+    the piece table alone defines reading order."""
+    text = "".join(p + "\r" for p in paragraphs)
+    # split char space into 3 pieces
+    third = max(1, len(text) // 3)
+    pieces = [text[:third], text[third : 2 * third], text[2 * third :]]
+    pieces = [p for p in pieces if p]
+
+    wd = bytearray(4096)
+    struct.pack_into("<H", wd, 0, 0xA5EC)  # wIdent
+    struct.pack_into("<H", wd, 2, 0x00C1)  # nFib: Word97
+    struct.pack_into("<H", wd, 10, 0x0004)  # flags: fComplex, 0Table
+    # physical layout: store pieces in REVERSE order starting at 0x600
+    cursor = 0x600
+    piece_fc: list[int] = [0] * len(pieces)
+    for idx in reversed(range(len(pieces))):
+        p = pieces[idx]
+        if idx % 2 == 1:  # compressed cp1252 piece
+            raw = p.encode("cp1252", errors="replace")
+            piece_fc[idx] = 0x40000000 | (cursor * 2)
+        else:  # UTF-16 piece
+            raw = p.encode("utf-16-le")
+            piece_fc[idx] = cursor
+        if cursor + len(raw) > len(wd):
+            wd.extend(b"\x00" * (cursor + len(raw) - len(wd)))
+        wd[cursor : cursor + len(raw)] = raw
+        cursor += len(raw) + 16  # gap: pieces are not contiguous
+
+    # PlcPcd: n+1 CPs then n 8-byte PCDs (fc dword at PCD offset 2)
+    cps = [0]
+    for p in pieces:
+        cps.append(cps[-1] + len(p))
+    plc = b"".join(struct.pack("<I", cp) for cp in cps)
+    for fc in piece_fc:
+        plc += struct.pack("<HIH", 0, fc, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+
+    table = bytearray(len(clx))
+    table[:] = clx
+    fc_clx, lcb_clx = 0, len(clx)
+    struct.pack_into("<I", wd, 0x1A2, fc_clx)
+    struct.pack_into("<I", wd, 0x1A6, lcb_clx)
+    return _build_cfb({"WordDocument": bytes(wd), "0Table": bytes(table)})
+
+
 def expected_doc_content(paragraphs: list[str]) -> str:
     """Normative DOC text layout: Word's \\r paragraph marks normalized to
     newline-terminated paragraphs (same shape as DOCX)."""

