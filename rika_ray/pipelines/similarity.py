@@ -88,40 +88,61 @@ def ann_topk_lsh(
     query_ids: tuple[int, ...] = (0, 1, 2, 3),
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> ray.data.Dataset:
-    """Approximate top-k: hyperplane-LSH bucket per vector; each query
-    searches only vectors whose bucket is within Hamming distance 1 of its
-    own (multi-probe). Recall < 1 by design — the scale path when the
-    corpus no longer fits a full scan (rows-only check)."""
+    """Approximate top-k: ``n_tables`` independent hyperplane-LSH tables
+    (OR-amplification); per table each query probes its own bucket plus
+    every Hamming-distance-1 neighbor. A vector is a candidate if ANY
+    table collides — the standard multi-table design that keeps recall
+    useful even on near-uniform data. Recall < 1 by design — the scale
+    path when the corpus no longer fits a full scan (rows-only check;
+    recall measured against the exact baseline in
+    tests/test_similarity_recall.py)."""
     queries = _query_matrix(sf_dir, list(query_ids))
     dim = queries.shape[1]
-    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
-    q_buckets = ((queries @ planes) > 0) @ (1 << np.arange(n_planes))
-    # multi-probe: query bucket ± each single-bit flip
-    probe_sets = []
-    for qb in q_buckets:
-        probes = {int(qb)}
-        for bit in range(n_planes):
-            probes.add(int(qb) ^ (1 << bit))
-        probe_sets.append(probes)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    powers = 1 << np.arange(n_planes)
+    # per-table probe sets: query bucket ± each single-bit flip
+    probe_sets: list[list[set[int]]] = []
+    for t in range(n_tables):
+        q_buckets = ((queries @ planes[t]) > 0) @ powers
+        table_probes = []
+        for qb in q_buckets:
+            probes = {int(qb)}
+            for bit in range(n_planes):
+                probes.add(int(qb) ^ (1 << bit))
+            table_probes.append(probes)
+        probe_sets.append(table_probes)
     q_ref = ray.put((queries, planes, probe_sets))
     qids = list(query_ids)
 
     class BucketTopK:
         def __init__(self):
             self.q, self.planes, self.probes = ray.get(q_ref)
+            self.powers = 1 << np.arange(self.planes.shape[2])
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             unit = vecs / np.maximum(
                 np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
             )
-            buckets = ((vecs @ self.planes) > 0) @ (1 << np.arange(self.planes.shape[1]))
+            n_tab = self.planes.shape[0]
+            buckets = np.stack(
+                [
+                    ((vecs @ self.planes[t]) > 0) @ self.powers
+                    for t in range(n_tab)
+                ]
+            )  # (n_tables, n)
             ids = batch["vec_id"].to_numpy()
             out = []
             for qi, qid in enumerate(qids):
-                mask = np.isin(buckets, list(self.probes[qi]))
+                mask = np.zeros(len(ids), dtype=bool)
+                for t in range(n_tab):
+                    mask |= np.isin(
+                        buckets[t], list(self.probes[t][qi])
+                    )
                 if not mask.any():
                     continue
                 sims = unit[mask] @ self.q[qi]

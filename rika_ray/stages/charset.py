@@ -54,35 +54,71 @@ _CP1252_TYPO = frozenset(
 ) - {0x81, 0x8D, 0x8F, 0x90, 0x9D}
 
 
+def _byte_weight(b: int, codec: str) -> float:
+    """Reference per-byte weight (the normative scoring semantics): common
+    letters strong, case-plane mismatches weak, undecodable strongly
+    negative. Compiled into 256-entry numpy tables below — the hot path
+    never runs this per byte."""
+    try:
+        ch = bytes([b]).decode(codec)
+    except UnicodeDecodeError:
+        return -2.0
+    if ch in _RU_COMMON or ch in _LATIN_COMMON:
+        return 2.0
+    if "\u0430" <= ch <= "\u044f" or ch == "\u0451":  # а-я, ё
+        return 1.0
+    if "\u0410" <= ch <= "\u042f" or ch == "\u0401":  # А-Я, Ё
+        return 0.4
+    if ch.isalpha():
+        return 1.0 if ch.islower() else 0.4
+    if b in _CP1252_TYPO and codec == "cp1252":
+        return 0.3
+    if ch.isprintable() or ch in " ":
+        return 0.0
+    return -1.0  # control chars never appear in real text
+
+
+_T = None
+
+
+def _tables():
+    """Lazily-compiled 256-entry lookup tables (once per process) — the
+    vectorized hot path for detection."""
+    global _T
+    if _T is None:
+        import numpy as np
+
+        ascii_letter = np.zeros(256, dtype=bool)
+        ascii_letter[0x41:0x5B] = True
+        ascii_letter[0x61:0x7B] = True
+        high = np.arange(256) >= 0x80
+        _T = {
+            "cp1251": np.array(
+                [_byte_weight(b, "cp1251") if b >= 0x80 else 0.0
+                 for b in range(256)], dtype=np.float32),
+            "koi8-r": np.array(
+                [_byte_weight(b, "koi8-r") if b >= 0x80 else 0.0
+                 for b in range(256)], dtype=np.float32),
+            "cp1252": np.array(
+                [_byte_weight(b, "cp1252") if b >= 0x80 else 0.0
+                 for b in range(256)], dtype=np.float32),
+            "ascii_letter": ascii_letter,
+            "letterish": ascii_letter | high,
+        }
+    return _T
+
+
 def _score_single_byte(data: bytes, codec: str) -> float:
     """Plausibility of ``data`` under a single-byte codec: mean per-high-
-    byte weight of the decoded character class (common letters strong,
-    case-plane mismatches weak, undecodable strongly negative)."""
-    high = bytes(b for b in data if b >= 0x80)
-    if not high:
+    byte weight (vectorized table lookup; semantics defined by
+    ``_byte_weight``)."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    hb = arr[arr >= 0x80]
+    if hb.size == 0:
         return 0.0
-    total = 0.0
-    for b in high:
-        try:
-            ch = bytes([b]).decode(codec)
-        except UnicodeDecodeError:
-            total -= 2.0
-            continue
-        if ch in _RU_COMMON or ch in _LATIN_COMMON:
-            total += 2.0
-        elif "а" <= ch <= "я" or ch == "ё":
-            total += 1.0
-        elif "А" <= ch <= "Я" or ch == "Ё":
-            total += 0.4
-        elif ch.isalpha():
-            total += 1.0 if ch.islower() else 0.4
-        elif b in _CP1252_TYPO and codec == "cp1252":
-            total += 0.3
-        elif ch.isprintable() or ch in " ":
-            total += 0.0
-        else:
-            total -= 1.0  # control chars never appear in real text
-    return total / len(high)
+    return float(_tables()[codec][hb].mean())
 
 
 def _looks_like_shift_jis(data: bytes) -> bool:
@@ -90,25 +126,33 @@ def _looks_like_shift_jis(data: bytes) -> bool:
     Shift-JIS unit, DOUBLE-BYTE units dominate (half-width kana alone is
     byte-identical to the KOI8-R lowercase plane), and the decode is
     full-width-CJK-dominant."""
+    truncated = len(data) > 2048
+    data = data[:2048]  # bounded walk; decisions don't need more
     i, dbl, single_kana = 0, 0, 0
     n = len(data)
+    end = 0  # last complete-unit boundary (for the decode below)
     while i < n:
         b = data[i]
         if b < 0x80:
             i += 1
+            end = i
             continue
         if (0x81 <= b <= 0x9F) or (0xE0 <= b <= 0xEF):
             if i + 1 >= n:
+                if truncated:
+                    break  # window cut a double-byte unit in half — fine
                 return False
             t = data[i + 1]
             if not (0x40 <= t <= 0xFC and t != 0x7F):
                 return False
             dbl += 1
             i += 2
+            end = i
             continue
         if 0xA1 <= b <= 0xDF:  # half-width katakana, single byte
             single_kana += 1
             i += 1
+            end = i
             continue
         return False
     # ≥3 double-byte units: one or two isolated accented Latin-1 bytes
@@ -116,7 +160,7 @@ def _looks_like_shift_jis(data: bytes) -> bool:
     if dbl < 3 or dbl < single_kana:
         return False
     try:
-        decoded = data.decode("shift_jis")
+        decoded = data[:end].decode("shift_jis")
     except UnicodeDecodeError:
         return False
     cjk = sum(
@@ -149,22 +193,28 @@ def detect_charset(data: bytes) -> str:
     # are pure high-byte runs, while Latin words with accents mix ASCII
     # letters and isolated high bytes ("très" = t,r,0xE8,s). Density or
     # adjacency alone misclassify mostly-ASCII pages with a few Cyrillic
-    # words, or accent clusters.
+    # words, or accent clusters. Vectorized run analysis — this runs for
+    # every non-UTF-8 document, so no per-byte Python.
+    import numpy as np
+
+    t = _tables()
+    arr = np.frombuffer(sample + b" ", dtype=np.uint8)
+    letterish = t["letterish"][arr]
+    edges = np.diff(letterish.astype(np.int8), prepend=np.int8(0))
+    starts = np.flatnonzero(edges == 1)
     pure_high_words = mixed_words = 0
-    in_word = word_has_ascii = word_has_high = False
-    for b in sample + b" ":
-        is_ascii_letter = (0x41 <= b <= 0x5A) or (0x61 <= b <= 0x7A)
-        if is_ascii_letter or b >= 0x80:
-            in_word = True
-            word_has_ascii |= is_ascii_letter
-            word_has_high |= b >= 0x80
-        elif in_word:
-            if word_has_high:
-                if word_has_ascii:
-                    mixed_words += 1
-                else:
-                    pure_high_words += 1
-            in_word = word_has_ascii = word_has_high = False
+    if starts.size:
+        ends = np.flatnonzero(edges == -1)  # trailing space closes words
+        c_high = np.concatenate(
+            [[0], np.cumsum((arr >= 0x80).astype(np.int64))]
+        )
+        c_ascii = np.concatenate(
+            [[0], np.cumsum(t["ascii_letter"][arr].astype(np.int64))]
+        )
+        has_high = (c_high[ends] - c_high[starts]) > 0
+        has_ascii = (c_ascii[ends] - c_ascii[starts]) > 0
+        pure_high_words = int((has_high & ~has_ascii).sum())
+        mixed_words = int((has_high & has_ascii).sum())
 
     if pure_high_words > mixed_words:
         # pure-high-byte words: Cyrillic single-byte candidates first —
