@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact_hashed": dedup.dedup_exact_survivors,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_pair_set": dedup.minhash_pair_set,
         "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
     }
 
 
@@ -264,6 +266,26 @@ def oracle_sql() -> dict[str, str]:
             f"len(tok) END AS mean_word_len "
             f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS tok "
             f"FROM documents) t ORDER BY doc_id"
+        ),
+        "minhash_pair_set": (
+            # ground truth for the LSH pair SET: exact 3-word-shingle
+            # Jaccard ≥ 0.5 over all pairs (recall/precision margins in
+            # the minhash_pair_set docstring)
+            f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
+            f"FROM documents), "
+            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
+            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
+            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
+            f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "
+            f"AS c FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < "
+            f"b.doc_id GROUP BY 1, 2) "
+            f"SELECT da AS doc_a, db AS doc_b "
+            f"FROM inter JOIN sizes sa ON sa.doc_id = da "
+            f"JOIN sizes sb ON sb.doc_id = db "
+            f"WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5 "
+            f"ORDER BY doc_a, doc_b"
         ),
         "verify_jaccard_pairs": (
             # exact 3-word-shingle Jaccard over ALL pairs ≥ 0.5 — the

@@ -414,6 +414,21 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_pair_set(
+    sf_dir: str, threshold: float = 0.5, seed: int = 42
+) -> ray.data.Dataset:
+    """The MinHash-LSH near-dup PAIR SET (ids only, no est value) — the
+    oracle-checkable face of ``minhash_lsh_pairs``: with 16 bands × 4 rows
+    and 64 unbiased permutations, a pair with true Jaccard j ≥ 0.8 is
+    banded with p ≥ 1-6e-8 and its est clears a 0.5 threshold with
+    p ≥ 1-6e-8, while sub-threshold pairs (the corpus has none between
+    0.15 and 0.8) est-filter out — so the emitted set equals the exact
+    shingle-Jaccard-≥-threshold set computable in SQL."""
+    return minhash_lsh_pairs(sf_dir, threshold=threshold, seed=seed).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification (exact) for candidate pairs — co-partitioned
 # ---------------------------------------------------------------------------

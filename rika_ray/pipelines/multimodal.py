@@ -265,3 +265,87 @@ class AudioFrameStage:
                 "mean_energy": pa.array(energies, pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Video: stubbed frame decode + REAL frame sampling / per-frame features
+# ---------------------------------------------------------------------------
+
+
+def decode_video_stub(
+    payload: bytes, n_frames: int = 24, height: int = 36, width: int = 64
+) -> np.ndarray:
+    """Deterministic FAKE video decode: (n_frames, H, W, 3) uint8 frames
+    seeded from the payload hash — stands in for the codec only (PyAV /
+    ffmpeg not in this container); shape/dtype/layout match a real
+    decode."""
+    seed = (
+        int(
+            pd.util.hash_array(
+                np.asarray([payload], dtype=object), categorize=False
+            )[0]
+        )
+        & 0x7FFFFFFF
+    )
+    rng = np.random.RandomState(seed)
+    return rng.randint(
+        0, 256, size=(n_frames, height, width, 3), dtype=np.uint8
+    )
+
+
+def sample_frames(
+    frames: np.ndarray, every: int = 6, max_frames: int = 8
+) -> np.ndarray:
+    """REAL frame sampling: every ``every``-th frame, capped — the
+    standard keyframe-ish subsampling for video feature extraction."""
+    return frames[::every][:max_frames]
+
+
+class VideoFrameStage:
+    """Actor-pool stage: binary video rows → sampled-frame count + a
+    per-video feature vector (mean of per-frame image features — REAL
+    numpy math over the stubbed frames). Emits one row per input video:
+    the schema/batch-size/actor plumbing is the deliverable; swap
+    ``decode_video_stub`` for a real codec when available."""
+
+    def __init__(self, every: int = 6, max_frames: int = 8) -> None:
+        self.every = every
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_sampled, feats = [], []
+        for i in range(len(batch)):
+            payload = batch["html"][i].as_py() or b""
+            frames = sample_frames(
+                decode_video_stub(payload), self.every, self.max_frames
+            )
+            n_sampled.append(frames.shape[0])
+            per_frame = np.stack([image_features(f) for f in frames])
+            feats.append(per_frame.mean(axis=0).tolist())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_frames_sampled": pa.array(n_sampled, pa.int32()),
+                "embedding": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def video_frame_pipeline(
+    web_pages: ray.data.Dataset,
+    every: int = 6,
+    max_frames: int = 8,
+) -> ray.data.Dataset:
+    """web_pages → per-video sampled-frame features. batch_size is tiny
+    (8): decoded frame stacks are the fattest rows in the engine
+    (~166 KB/video at stub size, multi-MB real)."""
+    from rika_ray.pool import pool_spec
+
+    return web_pages.map_batches(
+        VideoFrameStage,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=pool_spec(),
+        num_cpus=0.5,
+        fn_constructor_kwargs={"every": every, "max_frames": max_frames},
+    )

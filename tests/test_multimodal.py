@@ -104,3 +104,41 @@ def test_audio_stage_batch():
     out = AudioFrameStage()(batch).to_pylist()
     assert out[0]["n_frames"] == 98
     assert out[0]["mean_energy"] > 0
+
+
+def test_video_frame_sampling_math():
+    """REAL sampling math over the stubbed decode: every 6th frame capped
+    at 8, deterministic per payload."""
+    import numpy as np
+
+    from rika_ray.pipelines.multimodal import (
+        decode_video_stub,
+        sample_frames,
+    )
+
+    frames = decode_video_stub(b"clip-bytes", n_frames=24)
+    assert frames.shape == (24, 36, 64, 3) and frames.dtype == np.uint8
+    sampled = sample_frames(frames, every=6, max_frames=8)
+    assert sampled.shape[0] == 4  # 24/6
+    assert (sampled[1] == frames[6]).all()
+    assert (decode_video_stub(b"clip-bytes") == frames).all()
+    assert not (decode_video_stub(b"other") == frames).all()
+
+
+def test_video_stage_batch(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rika_ray.pipelines.multimodal import video_frame_pipeline
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["v://a", "v://b"], pa.string()),
+            "html": pa.array([b"videobytes-a", b"videobytes-b"], pa.large_binary()),
+        }
+    )
+    out = video_frame_pipeline(ray.data.from_arrow(tbl)).take_all()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_frames_sampled"] == 4
+        assert len(r["embedding"]) == 11  # 3 channel means + 8 hist bins

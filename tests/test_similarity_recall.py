@@ -40,3 +40,22 @@ def test_lsh_is_subset_ranked_by_true_cosine(ray_session):
     a1 = ann_topk_lsh(SF, k=5).take_all()
     a2 = ann_topk_lsh(SF, k=5).take_all()
     assert a1 == a2
+
+
+def test_ivf_recall_at_k(ray_session):
+    """IVF coarse-quantizer path: probing 4 of 16 cells (~25% of the
+    corpus) must recover a large share of the exact top-k — cells
+    concentrate neighbors far better than uniform sampling would."""
+    from rika_ray.pipelines.similarity import ann_topk_ivf
+
+    exact = _result_sets(ann_topk_bruteforce(SF, k=10))
+    approx = _result_sets(ann_topk_ivf(SF, k=10))
+    assert set(exact) == set(approx)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in sorted(exact)
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, recalls
+    # deterministic across runs (seeded sampling + seeded k-means)
+    again = _result_sets(ann_topk_ivf(SF, k=10))
+    assert approx == again
