@@ -82,24 +82,39 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
+def mix64(z):
+    """splitmix64 finalizer over uint64 numpy arrays (wrapping arithmetic)
+    — the engine's shared full-avalanche bijection."""
+    import numpy as np
+
+    z = np.asarray(z, dtype=np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Document fingerprint: min of Rabin-Karp rolling hashes over
-    ``window``-char windows (a winnowing-style representative). Stable and
-    deterministic; used by the fingerprint operator."""
-    if len(text) < window:
-        return fnv1a64(text.encode("utf-8"))
-    base = 257
-    mod = (1 << 61) - 1
-    power = pow(base, window - 1, mod)
-    h = 0
+    """Document fingerprint: minimum over all ``window``-byte windows of a
+    64-bit window hash (winnowing-style representative). The window hash
+    is splitmix64 over the window's bytes packed as two little-endian
+    uint64 words — fully vectorized (sliding_window_view + wrapping
+    uint64 math), no per-byte Python. Deterministic; not SQL-expressible
+    (rows-only driver check)."""
+    import numpy as np
+
+    if window % 8:
+        raise ValueError("window must be a multiple of 8 (uint64 packing)")
     data = text.encode("utf-8", errors="replace")
     if len(data) < window:
         return fnv1a64(data)
-    for b in data[:window]:
-        h = (h * base + b) % mod
-    best = h
-    for i in range(window, len(data)):
-        h = ((h - data[i - window] * power) * base + data[i]) % mod
-        if h < best:
-            best = h
-    return best
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(arr, window)
+    ).view(np.uint64)  # (n_windows, window // 8)
+    h = mix64(w[:, 0])
+    for c in range(1, w.shape[1]):
+        h = mix64(h ^ w[:, c])
+    return int(h.min())

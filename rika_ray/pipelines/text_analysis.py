@@ -82,6 +82,12 @@ _STOPWORDS = frozenset(
     "with as on at by from not but".split()
 )
 _PUNCT = set(string.punctuation)
+# C-speed single-pass character counters for ASCII text (the common case):
+# count = len(text) - len(text.translate(delete_table))
+_DEL_PUNCT = str.maketrans("", "", string.punctuation)
+_DEL_NON_ALPHA_ASCII = str.maketrans(
+    "", "", "".join(chr(c) for c in range(128) if not chr(c).isalpha())
+)
 
 
 class QualityScorer:
@@ -103,8 +109,15 @@ class QualityScorer:
         n_words = len(toks)
         n_chars = len(text)
         n_stop = sum(1 for t in toks if t in self.stopwords)
-        n_punct = sum(1 for ch in text if ch in self.punct)
-        n_alpha = sum(1 for ch in text if ch.isalpha())
+        if text.isascii():
+            # single C pass per feature; identical counts to the per-char
+            # loops below (punctuation is ASCII-only by definition)
+            n_punct = n_chars - len(text.translate(_DEL_PUNCT))
+            n_alpha = len(text.translate(_DEL_NON_ALPHA_ASCII))
+        else:
+            # exact Unicode isalpha semantics for non-ASCII text
+            n_punct = sum(1 for ch in text if ch in self.punct)
+            n_alpha = sum(1 for ch in text if ch.isalpha())
         return {
             "n_chars": n_chars,
             "n_words": n_words,
