@@ -149,3 +149,80 @@ def test_metadata_key_sort_invariant():
     unsorted_out = finalize_batch(batch, key_sort=False).to_pylist()[0]
     keys_u = [p["key"] for p in unsorted_out["metadata"]]
     assert keys_u[0] == "Zeta"  # original order preserved
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                                   blacklist_characters="\r"),
+            min_size=1, max_size=60,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_piecetable_doc_roundtrip_arbitrary_paragraphs(paras):
+    """Piece-table DOC roundtrip over arbitrary text (mixed cp1252/UTF-16
+    pieces, physically out-of-order): extracted content must equal the
+    expected layout modulo cp1252-unrepresentable chars, which the builder
+    encodes with errors='replace' (? substitution)."""
+    from rika_ray.docgen import build_doc_piecetable, expected_doc_content
+    from rika_ray.stages.office import extract_doc
+
+    payload = build_doc_piecetable(paras)
+    content, spans, meta = extract_doc(payload)
+    # model the builder's piece-splitting + lossy cp1252 encode: odd pieces
+    # go through cp1252 replace, even pieces through UTF-16 (lossless)
+    text = "".join(p + "\r" for p in paras)
+    third = max(1, len(text) // 3)
+    pieces = [text[:third], text[third : 2 * third], text[2 * third :]]
+    pieces = [p for p in pieces if p]
+    rebuilt = "".join(
+        p.encode("cp1252", errors="replace").decode("cp1252")
+        if i % 2 == 1
+        else p
+        for i, p in enumerate(pieces)
+    )
+    expected_paras = [p for p in rebuilt.split("\r") if p != ""]
+    assert content == expected_doc_content(expected_paras)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=50,
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_xrefstream_pdf_roundtrip_arbitrary_pages(pages):
+    """xref-stream PDF roundtrip over arbitrary ASCII page lines — the
+    modern layout must extract byte-identically to the classic layout."""
+    from rika_ray.docgen import (
+        build_pdf,
+        build_pdf_xrefstream,
+        expected_pdf_content,
+    )
+    from rika_ray.stages.pdf_extract import extract_pdf
+
+    modern = build_pdf_xrefstream(pages)
+    classic = build_pdf(pages)
+    mc, _, _ = extract_pdf(modern)
+    cc, _, _ = extract_pdf(classic)
+    assert mc == cc == expected_pdf_content(pages)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_rolling_fingerprint_total_and_deterministic(text):
+    from rika_ray.functions.text import rolling_fingerprint
+
+    a = rolling_fingerprint(text)
+    assert isinstance(a, int) and 0 <= a < (1 << 64)
+    assert rolling_fingerprint(text) == a
