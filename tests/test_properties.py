@@ -226,3 +226,40 @@ def test_rolling_fingerprint_total_and_deterministic(text):
     a = rolling_fingerprint(text)
     assert isinstance(a, int) and 0 <= a < (1 << 64)
     assert rolling_fingerprint(text) == a
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+            min_size=5, max_size=120,
+        ),
+        min_size=1, max_size=4,
+    ),
+    st.lists(st.sampled_from(
+        ["Home", "News", "About", "Archive", "Contact", "Sports",
+         "Weather", "Opinion"]), min_size=3, max_size=8, unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_fast_html_tokenizer_matches_stdlib_on_pages(paras, links):
+    """Differential parity: the fast regex tokenizer must produce exactly
+    the stdlib-HTMLParser-driven result on generated realistic pages."""
+    from rika_ray.docgen import build_html_page
+    from rika_ray.stages.html_extract import (
+        extract_html,
+        extract_html_reference,
+    )
+
+    page = build_html_page("T&itle", paras, links).decode()
+    assert extract_html(page) == extract_html_reference(page)
+
+
+@given(st.text(max_size=1500))
+@settings(max_examples=60, deadline=None)
+def test_fast_html_tokenizer_total(text):
+    """The fast tokenizer is total on arbitrary text (never raises; sane
+    types), like the stdlib-based path."""
+    from rika_ray.stages.html_extract import extract_html
+
+    content, spans, meta = extract_html(text)
+    assert isinstance(content, str) and isinstance(spans, list)
