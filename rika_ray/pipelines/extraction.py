@@ -12,10 +12,12 @@ Scale design notes (§4):
   table.
 - ``batch_size`` is deliberately small for the extract stage: documents are
   multi-KB..multi-MB, so a batch of 64-256 rows keeps batch × concurrency
-  within worker heaps; mega-documents can optionally be routed to a
-  dedicated pool with ``batch_size=1`` (``route_mega_docs``) so one 100 MB
-  page cannot stall a batch of small ones (BASELINE.json: "explicit
-  repartitioning to break skew from mega-documents").
+  within worker heaps; ``route_mega_docs`` additionally isolates
+  mega-documents into their own single-row blocks/batches on the SAME
+  single scan (dynamic block splitting capped at ``mega_doc_bytes`` +
+  whole-block batches) so one 100 MB page cannot stall a batch of small
+  ones (BASELINE.json: "explicit repartitioning to break skew from
+  mega-documents").
 - The raw ``html`` payload is dropped inside ExtractStage, so everything
   after the router moves only extracted text through the object store.
 """
@@ -42,7 +44,17 @@ class ExtractionConfig:
     extract_concurrency: int | tuple[int, int] | None = None  # actor pool size
     lang_concurrency: int | tuple[int, int] | None = None
     lang_batch_size: int = 512
-    route_mega_docs: bool = False  # two-branch skew routing
+    # Skew isolation for mega-documents, on the SAME single scan and
+    # composable with ``fused``: the dataset chain's target block size is
+    # capped at ``mega_doc_bytes`` (scoped via ``ds.context`` — never the
+    # process-global DataContext) so Ray's dynamic block splitting
+    # finalizes a mega document into its own block the moment it lands
+    # (carrying at most ``mega_doc_bytes`` of small riders), and the
+    # extract stage batches whole blocks (``batch_size=None``) so that
+    # block IS the mega doc's batch. No fork, no second corpus scan, no
+    # union — the cost is one object-store hop (read fusion must be broken
+    # so block building runs between read and extract).
+    route_mega_docs: bool = False
     mega_doc_bytes: int = 4 * 1024 * 1024
     # §2.9 user-extension hook: callable bytes->media_type replacing the
     # built-in magic-byte sniffer (Rika.parse detector: analogue). Must be
@@ -113,7 +125,15 @@ def build_extraction_pipeline(
 
     ncpu = cluster_cpus()
 
-    if cfg.fused and not cfg.route_mega_docs:
+    if cfg.route_mega_docs:
+        # Cap THIS dataset chain's block size at the mega threshold:
+        # dynamic block splitting then finalizes any block the moment it
+        # exceeds the cap, so a mega document gets its own block with at
+        # most cap-bytes of small riders. Scoped to ds.context (the plan's
+        # context copy) — the process-global DataContext is untouched.
+        ds.context.target_max_block_size = cfg.mega_doc_bytes
+
+    if cfg.fused:
         pool = cfg.extract_concurrency
         if pool is None:
             # constant worker fraction (3/4 of slots; rest for read/write
@@ -130,13 +150,19 @@ def build_extraction_pipeline(
                 "detector": cfg.detector,
             },
         )
+        if cfg.route_mega_docs:
+            # whole-block batches (block = batch, so the mega doc's block
+            # is its own batch) + a non-default num_cpus so the read does
+            # NOT fuse into the pool — with fusion the actors would see
+            # raw reader output before block building ever runs
+            kwargs["batch_size"] = None
+            kwargs["num_cpus"] = 0.99
         if ncpu >= 4:
             # deeper per-actor task pipelining (4 in flight vs default 2)
             # hides dispatch latency — measured +10-15% pool utilization at
-            # 32 CPUs; 8 in flight over-queues slow actors and regresses
-            from ray.data.context import DataContext
-
-            DataContext.get_current().max_tasks_in_flight_per_actor = 4
+            # 32 CPUs; 8 in flight over-queues slow actors and regresses.
+            # Scoped to this dataset chain's context, not the global.
+            ds.context.max_tasks_in_flight_per_actor = 4
             return ds.map_batches(
                 FusedExtractStage, concurrency=pool, **kwargs
             )
@@ -181,30 +207,14 @@ def build_extraction_pipeline(
     extract_callable = ExtractStage if use_actor_pools else extract_batch_task
 
     if cfg.route_mega_docs:
-        # Two-branch skew routing: docs over the threshold go through a
-        # dedicated pool one at a time so a mega-document never rides in a
-        # batch with (and stalls) small ones.
-        threshold = cfg.mega_doc_bytes
-
-        def _add_size(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.append_column(
-                "doc_bytes", pc.binary_length(batch["html"])
-            )
-
-        ds = ds.map_batches(_add_size, batch_format="pyarrow")
-        small = ds.filter(
-            lambda row: (row["doc_bytes"] or 0) <= threshold
-        ).map_batches(extract_callable, **extract_kwargs)
-        mega_kwargs = dict(extract_kwargs, batch_size=1)
-        mega = ds.filter(
-            lambda row: (row["doc_bytes"] or 0) > threshold
-        ).map_batches(extract_callable, **mega_kwargs)
-        ds = small.union(mega)
-        ds = ds.drop_columns(["doc_bytes"])
-    else:
-        ds = ds.map_batches(extract_callable, **extract_kwargs)
+        # same block-isolation routing as the fused path (the context block
+        # cap is already set above): whole-block batches so the mega doc's
+        # size-capped block is its own batch, and a non-default num_cpus so
+        # the sniff task op doesn't fuse into the extract stage (fusion
+        # would bypass the block building that isolates mega docs)
+        extract_kwargs["batch_size"] = None
+        extract_kwargs["num_cpus"] = 0.99
+    ds = ds.map_batches(extract_callable, **extract_kwargs)
 
     lang_kwargs = dict(batch_format="pyarrow", batch_size=cfg.lang_batch_size)
     if use_actor_pools:

@@ -191,8 +191,10 @@ def test_custom_detector_injection(ray_session, corpus_dir):
 
 
 def test_mega_doc_routing_parity(ray_session, corpus_dir):
-    """route_mega_docs: the two-branch skew layout must produce the same
-    rows as the single-path layout."""
+    """route_mega_docs (block-isolation skew routing) must produce the same
+    rows as the plain layout — in BOTH the staged and the fused physical
+    plans (the round-2 layout silently disabled fusion when routing was
+    on; they now compose)."""
     from rika_ray.pipelines.extraction import ExtractionConfig, build_extraction_pipeline
 
     def _run(**kw):
@@ -202,6 +204,43 @@ def test_mega_doc_routing_parity(ray_session, corpus_dir):
         ).take_all()
         return sorted(rows, key=lambda r: (r["url"], r["content"] or ""))
 
-    routed = _run(route_mega_docs=True, mega_doc_bytes=1 << 20, fused=False)
     plain = _run(fused=False)
-    assert routed == plain
+    assert _run(route_mega_docs=True, mega_doc_bytes=1 << 20, fused=False) == plain
+    assert _run(route_mega_docs=True, mega_doc_bytes=1 << 20, fused=True) == plain
+
+
+def test_mega_doc_block_isolation(ray_session, corpus_dir):
+    """The routing mechanism itself: with the block cap at the mega
+    threshold and whole-block batches, every batch containing a
+    mega-document holds exactly one mega-document, and its small riders
+    total at most the cap (bounded head-of-line blocking). The probe
+    mirrors the routed extract stage's input shape (same context cap,
+    batch_size=None, fusion broken)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    threshold = 1 << 20
+    ds = read_web_pages(f"{corpus_dir}/web_pages.parquet")
+    ds.context.target_max_block_size = threshold
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        sizes = pc.binary_length(batch["html"])
+        n_mega = pc.sum(
+            pc.cast(pc.greater(sizes, threshold), pa.int64())
+        ).as_py() or 0
+        rider_bytes = pc.sum(
+            pc.if_else(pc.greater(sizes, threshold), 0, sizes)
+        ).as_py() or 0
+        return pa.table(
+            {"n_mega": [n_mega], "rider_bytes": [rider_bytes]}
+        )
+
+    stats = ds.map_batches(
+        _probe, batch_format="pyarrow", batch_size=None, num_cpus=0.99
+    ).take_all()
+    mega_batches = [s for s in stats if s["n_mega"] > 0]
+    assert mega_batches, "corpus must contain mega docs for this test"
+    for s in mega_batches:
+        assert s["n_mega"] == 1
+        assert s["rider_bytes"] <= threshold
