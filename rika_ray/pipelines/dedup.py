@@ -79,34 +79,40 @@ def _empty_pairs(value_col: str) -> ray.data.Dataset:
 
 
 def dedup_exact_survivors(sf_dir: str) -> ray.data.Dataset:
-    """Smallest doc_id per distinct text. Groups on a 64-bit content hash so
-    the shuffle moves 8-byte keys, not full documents (the at-scale layout);
-    ``relational.dedup_exact`` delegates here for the same reason."""
+    """Smallest doc_id per distinct text. Groups on a 128-bit content key
+    (two INDEPENDENT 64-bit hashes with distinct hash keys) so the shuffle
+    moves 16-byte keys, not full documents (the at-scale layout);
+    ``relational.dedup_exact`` delegates here for the same reason.
+
+    Why 128 bits: a single 64-bit key has expected birthday collisions
+    ~n²/2^65 — tens of thousands of silently dropped documents at 10^12
+    docs. Two independent 64-bit hashes push that to ~n²/2^129
+    (≈10^-15 at 10^12 docs), equivalent to verifying equality within each
+    64-bit group via a second independent hash."""
 
     def _hash(batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        # categorize=False: the categorize path truncates at NUL bytes —
+        # texts differing only after a NUL would collide and be wrongly
+        # deduplicated. int64 BIT-VIEW of the 64-bit hashes: Ray's shuffle
+        # falls back to pickled-object extension arrays for uint64 values
+        # above the int64 range (equality semantics are identical).
+        h1 = pd.util.hash_array(texts, categorize=False)
+        h2 = pd.util.hash_array(
+            texts, categorize=False, hash_key="rika_ray_dedup_2"
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                # categorize=False: the categorize path truncates at NUL
-                # bytes — texts differing only after a NUL would collide
-                # and be wrongly deduplicated
-                # int64 BIT-VIEW of the 64-bit hash: Ray's shuffle falls
-                # back to pickled-object extension arrays for uint64 values
-                # above the int64 range (equality semantics are identical)
-                "content_hash": pa.array(
-                    pd.util.hash_array(texts, categorize=False).view(
-                        np.int64
-                    ),
-                    pa.int64(),
-                ),
+                "content_hash": pa.array(h1.view(np.int64), pa.int64()),
+                "content_hash2": pa.array(h2.view(np.int64), pa.int64()),
             }
         )
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(_hash, batch_format="pyarrow", batch_size=2048)
-        .groupby("content_hash")
+        .groupby(["content_hash", "content_hash2"])
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
         .sort("doc_id")
@@ -169,28 +175,15 @@ class _MinHasher:
         vals = _mix64(x ^ self.keys[:, None])  # (N_PERM, n)
         return vals.min(axis=1)  # (N_PERM,)
 
-    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """One 64-bit hash per band over that band's ROWS_PER_BAND slice —
-        equal slices hash equal; unequal collide at ~2^-64."""
-        chunks = sig.reshape(N_BANDS, ROWS_PER_BAND)
-        out = _mix64(chunks[:, 0] ^ self.band_salt)
-        for r in range(1, ROWS_PER_BAND):
-            out = _mix64(out ^ chunks[:, r])
-        return out
-
-
-class MinHashBandStage(_MinHasher):
-    """Actor-pool stage: text → SLIM LSH band rows (doc_id, band,
-    band_hash). No signature payload rides the shuffle — ~20 bytes/row
-    instead of the ~8 KB/doc a repeated 64-perm signature would cost.
-
-    The whole batch is hashed in ONE ``pd.util.hash_array`` call and the
-    per-doc minima come from ``np.minimum.reduceat`` over doc offsets —
-    no per-document hashing calls. Duplicate shingles within a doc don't
-    change a minimum, so the unique() step of ``signature()`` is skipped;
-    the resulting signatures are bit-identical to ``signature()``'s."""
-
-    def _batch_band_hashes(self, texts: list[str]) -> np.ndarray:
+    def batch_signatures(self, texts: list[str]) -> np.ndarray:
+        """(n, N_PERM) signatures for a whole batch: ONE
+        ``pd.util.hash_array`` call over the flattened shingles and
+        per-doc minima via ``np.minimum.reduceat`` — no per-document
+        hashing calls. Duplicate shingles within a doc don't change a
+        minimum, so skipping ``signature()``'s unique() step yields
+        bit-identical results."""
+        if not texts:
+            return np.empty((0, N_PERM), dtype=np.uint64)
         shingle_lists = []
         for t in texts:
             toks = tokenize(t or "")
@@ -213,7 +206,27 @@ class MinHashBandStage(_MinHasher):
         vals = _mix64(h[None, :] ^ self.keys[:, None])  # (N_PERM, total)
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        sigs = np.minimum.reduceat(vals, offsets, axis=1)  # (N_PERM, n)
+        return np.minimum.reduceat(vals, offsets, axis=1).T  # (n, N_PERM)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """One 64-bit hash per band over that band's ROWS_PER_BAND slice —
+        equal slices hash equal; unequal collide at ~2^-64."""
+        chunks = sig.reshape(N_BANDS, ROWS_PER_BAND)
+        out = _mix64(chunks[:, 0] ^ self.band_salt)
+        for r in range(1, ROWS_PER_BAND):
+            out = _mix64(out ^ chunks[:, r])
+        return out
+
+
+class MinHashBandStage(_MinHasher):
+    """Actor-pool stage: text → SLIM LSH band rows (doc_id, band,
+    band_hash). No signature payload rides the shuffle — ~20 bytes/row
+    instead of the ~8 KB/doc a repeated 64-perm signature would cost.
+
+    Batched via ``batch_signatures`` (one hash_array call + reduceat)."""
+
+    def _batch_band_hashes(self, texts: list[str]) -> np.ndarray:
+        sigs = self.batch_signatures(texts).T  # (N_PERM, n)
         chunks = sigs.reshape(N_BANDS, ROWS_PER_BAND, -1)
         out = _mix64(chunks[:, 0, :] ^ self.band_salt[:, None])
         for r in range(1, ROWS_PER_BAND):
@@ -257,10 +270,7 @@ class MinHashSigStage(_MinHasher):
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.doc_ids is not None:
             batch = batch.filter(pc.is_in(batch["doc_id"], self.doc_ids))
-        texts = batch["text"].to_pylist()
-        sigs = np.empty((len(batch), N_PERM), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t or "")
+        sigs = self.batch_signatures(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -326,63 +336,85 @@ def candidate_signatures(
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, threshold: float = 0.5, seed: int = 42
+    sf_dir: str,
+    threshold: float = 0.5,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: shingle → minhash → band → bucket.
 
     One corpus scan emits slim band rows persisted to partitioned parquet
-    (scratch checkpoint under /tmp; at cluster scale this is the job's
-    checkpoint directory, partitioned by band_hash range). A distributed
-    groupby-count over the parquet finds colliding buckets — always
-    distributed, never a driver-side Counter over the corpus. Everything
-    AFTER that operates on collision-bounded data: the hot band rows,
-    candidate pairs, and candidate signatures are each ≤ a small multiple
-    of the result size, so the final pairing/est/sort runs in pandas/numpy
-    on the driver (the same size class as the returned Dataset itself).
+    (at cluster scale ``checkpoint_dir`` is the job's checkpoint
+    directory, partitioned by band_hash range; when None a scratch dir is
+    used and removed in a finally block — no per-call /tmp leak). A
+    distributed groupby-count over the parquet finds colliding buckets —
+    always distributed, never a driver-side Counter over the corpus.
+    Everything AFTER that operates on collision-bounded data: the hot band
+    rows, candidate pairs, and candidate signatures are each ≤ a small
+    multiple of the result size, so the final pairing/est/sort runs in
+    pandas/numpy on the driver (the same size class as the returned
+    Dataset itself).
     """
     import ray
 
-    scratch_root = "/tmp/rika_ray_scratch"
-    os.makedirs(scratch_root, exist_ok=True)
-    scratch = tempfile.mkdtemp(prefix="minhash-bands-", dir=scratch_root)
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        scratch, ephemeral = checkpoint_dir, False
+    else:
+        scratch_root = "/tmp/rika_ray_scratch"
+        os.makedirs(scratch_root, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix="minhash-bands-", dir=scratch_root)
+        ephemeral = True
 
-    _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashBandStage,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_spec(),
-        num_cpus=0.5,
-        fn_constructor_kwargs={"seed": seed},
-    ).write_parquet(scratch)
-    # few fat blocks: Ray's sort-aggregate pays a large per-block constant,
-    # so a slim-row table wants block count ≈ pool width, not file count
-    band_rows = ray.data.read_parquet(
-        scratch, override_num_blocks=pool_spec()[1]
-    )
+    try:
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            MinHashBandStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=pool_spec(),
+            num_cpus=0.5,
+            fn_constructor_kwargs={"seed": seed},
+        ).write_parquet(scratch)
+        # few fat blocks: Ray's sort-aggregate pays a large per-block
+        # constant, so a slim-row table wants block count ≈ pool width,
+        # not file count
+        band_rows = ray.data.read_parquet(
+            scratch, override_num_blocks=pool_spec()[1]
+        )
 
-    # Pass 1 (8-byte keys only): colliding buckets via distributed
-    # groupby-count. The hot set is collision-sized (≈ dup clusters), so
-    # collecting it for broadcast is driver-safe at any corpus size.
-    hot = (
-        band_rows.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-        .select_columns(["band", "band_hash"])
-        .to_pandas()
-    )
-    if len(hot) == 0:
-        return _empty_pairs("est_jaccard")
-    hot_ref = ray.put(hot)
+        # Pass 1 (8-byte keys only): colliding buckets via distributed
+        # groupby-count. The hot set is collision-sized (≈ dup clusters),
+        # so collecting it for broadcast is driver-safe at any corpus size.
+        hot = (
+            band_rows.groupby(["band", "band_hash"])
+            .aggregate(Count(alias_name="n"))
+            .filter(expr="n >= 2")
+            .select_columns(["band", "band_hash"])
+            .to_pandas()
+        )
+        if len(hot) == 0:
+            return _empty_pairs("est_jaccard")
+        hot_ref = ray.put(hot)
 
-    # Pass 2 over the persisted band rows: keep hot-bucket rows via a
-    # vectorized pandas merge (no per-row membership loop). The surviving
-    # rows are collision-bounded — collect and pair them vectorized.
-    def _keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(ray.get(hot_ref), on=["band", "band_hash"])
+        # Pass 2 over the persisted band rows: keep hot-bucket rows via a
+        # vectorized pandas merge (no per-row membership loop). The
+        # surviving rows are collision-bounded — collect and pair them
+        # vectorized.
+        def _keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(hot_ref), on=["band", "band_hash"])
 
-    hot_rows = (
-        band_rows.map_batches(_keep_hot, batch_format="pandas").to_pandas()
-    )
+        hot_rows = (
+            band_rows.map_batches(_keep_hot, batch_format="pandas")
+            .to_pandas()
+        )
+    finally:
+        # both passes over the band rows have fully executed (to_pandas
+        # materializes), so nothing lazy references the scratch parquet
+        if ephemeral:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+
     pairs_df = _pairs_from_hot_rows(hot_rows)
     if pairs_df.empty:
         return _empty_pairs("est_jaccard")
@@ -436,26 +468,11 @@ def minhash_pair_set(
 _SIDES_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
-        ("pair_id", pa.int64()),
         ("doc_a", pa.int64()),
         ("doc_b", pa.int64()),
         ("shingles", pa.list_(pa.uint32())),
     ]
 )
-
-
-def _pair_ids(doc_a: np.ndarray, doc_b: np.ndarray) -> np.ndarray:
-    """Deterministic 63-bit pair key from the id pair (collision odds
-    ~pairs²/2^63 — negligible, and stable across runs)."""
-    # ':' separator + categorize=False: pd.util.hash_array's default
-    # categorize path truncates strings at NUL bytes, silently colliding
-    # keys that differ only after a NUL
-    keys = np.asarray(
-        [f"{a}:{b}" for a, b in zip(doc_a, doc_b)], dtype=object
-    )
-    return (
-        pd.util.hash_array(keys, categorize=False) >> np.uint64(1)
-    ).astype(np.int64)
 
 
 class _ShingleStage:
@@ -477,7 +494,6 @@ class _ShingleStage:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "pair_id": pa.nulls(n, pa.int64()),
                 "doc_a": pa.nulls(n, pa.int64()),
                 "doc_b": pa.nulls(n, pa.int64()),
                 "shingles": pa.array(
@@ -489,14 +505,14 @@ class _ShingleStage:
 
 
 def _explode_sides(batch: pa.Table) -> pa.Table:
-    """Candidate pairs → two (doc_id, pair_id) side rows each."""
+    """Candidate pairs → two (doc_id, doc_a, doc_b) side rows each. The
+    (doc_a, doc_b) id pair IS the pair key — no hashed pair_id, so there
+    is no collision class at all."""
     a = batch["doc_a"].to_numpy(zero_copy_only=False)
     b = batch["doc_b"].to_numpy(zero_copy_only=False)
-    pid = _pair_ids(a, b)
     return pa.table(
         {
             "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-            "pair_id": pa.array(np.concatenate([pid, pid]), pa.int64()),
             "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
             "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
             "shingles": pa.nulls(2 * len(batch), pa.list_(pa.uint32())),
@@ -507,13 +523,12 @@ def _explode_sides(batch: pa.Table) -> pa.Table:
 
 def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
     """Per doc_id group: one shingle row + k pair-side rows → k rows
-    carrying that doc's shingles to the pair_id shuffle."""
+    carrying that doc's shingles to the (doc_a, doc_b) pair shuffle."""
     sh_rows = group[group["shingles"].notna()]
-    sides = group[group["pair_id"].notna()]
+    sides = group[group["doc_a"].notna()]
     if sh_rows.empty or sides.empty:
         return pd.DataFrame(
             {
-                "pair_id": pd.Series(dtype="int64"),
                 "doc_id": pd.Series(dtype="int64"),
                 "doc_a": pd.Series(dtype="int64"),
                 "doc_b": pd.Series(dtype="int64"),
@@ -523,7 +538,6 @@ def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
     shingles = sh_rows["shingles"].iloc[0]
     return pd.DataFrame(
         {
-            "pair_id": sides["pair_id"].astype("int64"),
             "doc_id": sides["doc_id"].astype("int64"),
             "doc_a": sides["doc_a"].astype("int64"),
             "doc_b": sides["doc_b"].astype("int64"),
@@ -533,7 +547,8 @@ def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def _pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
-    """Per pair_id group: the pair's two shingle sets → exact Jaccard."""
+    """Per (doc_a, doc_b) group: the pair's two shingle sets → exact
+    Jaccard."""
     if len(group) < 2:
         return pd.DataFrame(
             {
@@ -561,11 +576,13 @@ def verify_jaccard_pairs(
     """MinHash candidates verified with exact shingle-set Jaccard,
     CO-PARTITIONED on doc_id — no text or shingle broadcast anywhere:
 
-    1. candidate pairs explode to (doc_id, pair_id) side rows,
+    1. candidate pairs explode to (doc_id, doc_a, doc_b) side rows,
     2. shingle sets are computed only for candidate documents (pruned
        scan filtered on a broadcast id set — ids, never text),
     3. groupby(doc_id) attaches each doc's shingles to its side rows,
-    4. groupby(pair_id) brings a pair's two sets together → exact Jaccard.
+    4. groupby(doc_a, doc_b) brings a pair's two sets together → exact
+       Jaccard. The id pair itself is the key — no hashed pair_id, no
+       collision class.
 
     Values are raw float64 ratios (|A∩B|/|A∪B| of integer counts) —
     bit-identical to the DuckDB oracle's division, so no rounding."""
@@ -595,7 +612,7 @@ def verify_jaccard_pairs(
         sides.union(shingle_rows)
         .groupby("doc_id")
         .map_groups(_attach_shingles, batch_format="pandas")
-        .groupby("pair_id")
+        .groupby(["doc_a", "doc_b"])
         .map_groups(_pair_jaccard, batch_format="pandas")
         .filter(expr=f"jaccard >= {threshold}")
         .select_columns(["doc_a", "doc_b", "jaccard"])
@@ -662,13 +679,80 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _capped_bucket_pairs(
+    ids: np.ndarray,
+    unit: np.ndarray,
+    threshold: float,
+    cap: int,
+    seed: int,
+    depth: int = 0,
+) -> list[pd.DataFrame]:
+    """All-pairs cosine within a bucket, with the quadratic work BOUNDED:
+    buckets above ``cap`` are recursively sub-split by fresh random
+    hyperplanes, so no single matmul ever exceeds cap². A truly
+    near-duplicate pair (cosine ≥ 0.9 ⇒ angle ≤ ~26°) lands on the same
+    side of a random hyperplane with p ≥ 1 - θ/π ≈ 0.86 per split, so
+    recall stays high — and recall < 1 is already this operator's
+    documented contract (the exact variant is the oracle). Degenerate
+    buckets that no hyperplane can split (e.g. thousands of identical
+    vectors) fall back to id-order chunks of ``cap`` after 16 failed
+    splits, bounding work at (n/cap)·cap² instead of n²."""
+    n = len(ids)
+    if n < 2:
+        return []
+    if n <= cap:
+        sim = unit @ unit.T
+        ii, jj = np.where(np.triu(sim >= threshold, k=1))
+        return [
+            pd.DataFrame(
+                {
+                    "vec_a": ids[ii].astype("int64"),
+                    "vec_b": ids[jj].astype("int64"),
+                    "cosine": np.round(sim[ii, jj], 6),
+                }
+            )
+        ]
+    if depth >= 16:
+        out = []
+        for s in range(0, n, cap):
+            out.extend(
+                _capped_bucket_pairs(
+                    ids[s : s + cap],
+                    unit[s : s + cap],
+                    threshold,
+                    cap,
+                    seed,
+                    depth,
+                )
+            )
+        return out
+    rng = np.random.RandomState((seed * 31 + depth) % (1 << 31))
+    side = unit @ rng.standard_normal(unit.shape[1]) > 0
+    if side.all() or not side.any():
+        return _capped_bucket_pairs(
+            ids, unit, threshold, cap, seed, depth + 1
+        )
+    return _capped_bucket_pairs(
+        ids[side], unit[side], threshold, cap, seed, depth + 1
+    ) + _capped_bucket_pairs(
+        ids[~side], unit[~side], threshold, cap, seed, depth + 1
+    )
+
+
 def embedding_neardup_pairs(
-    sf_dir: str, threshold: float = 0.9, n_planes: int = 12, seed: int = 42
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    bucket_cap: int = 2048,
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs: sign-of-projection LSH bucket (one
-    shuffle on the bucket key), exact cosine only within buckets. The
-    scale path — recall < 1 by design for borderline pairs; the exact
-    baseline below is the oracle-checked ground truth."""
+    shuffle on the bucket key), exact cosine only within buckets, with
+    per-bucket work capped at ``bucket_cap``² via recursive hyperplane
+    sub-splits (see ``_capped_bucket_pairs``) so one degenerate bucket
+    can never revert a ``map_groups`` group to O(B²)/OOM. The scale
+    path — recall < 1 by design for borderline pairs; the exact baseline
+    below is the oracle-checked ground truth."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
     planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
@@ -697,16 +781,17 @@ def embedding_neardup_pairs(
         vecs = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        sim = unit @ unit.T
         ids = group["vec_id"].to_numpy()
-        ii, jj = np.where(np.triu(sim >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ii].astype("int64"),
-                "vec_b": ids[jj].astype("int64"),
-                "cosine": np.round(sim[ii, jj], 6),
-            }
-        )
+        frames = _capped_bucket_pairs(ids, unit, threshold, bucket_cap, seed)
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         emb.map_batches(

@@ -141,6 +141,93 @@ def test_lsh_matches_exact_neardups(ray_session, planted_dir):
     assert lsh == exact
 
 
+def test_capped_bucket_pairs_bounds_degenerate_bucket():
+    """A bucket of IDENTICAL vectors (no hyperplane can split it) must
+    fall back to id-order chunks of ``cap`` — bounded quadratic work —
+    instead of one O(n²) matmul. With n=1000, cap=100: 10 chunks ×
+    C(100,2) pairs each."""
+    from rika_ray.pipelines.dedup import _capped_bucket_pairs
+
+    n, cap = 1000, 100
+    unit = np.tile(np.ones(8) / np.sqrt(8), (n, 1))
+    ids = np.arange(n)
+    frames = _capped_bucket_pairs(ids, unit, 0.9, cap, seed=42)
+    total = sum(len(f) for f in frames)
+    assert total == (n // cap) * (cap * (cap - 1) // 2)
+    for f in frames:
+        assert (f["cosine"] >= 0.9).all()
+        assert (f["vec_a"] < f["vec_b"]).all()
+
+
+def test_capped_bucket_pairs_splits_keep_neardups():
+    """Splittable oversized buckets sub-split by hyperplanes and still
+    find a planted near-identical pair."""
+    from rika_ray.pipelines.dedup import _capped_bucket_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((500, 16))
+    vecs[499] = vecs[0] + rng.standard_normal(16) * 0.001
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    frames = _capped_bucket_pairs(np.arange(500), unit, 0.99, 64, seed=42)
+    pairs = {
+        (a, b) for f in frames for a, b in zip(f["vec_a"], f["vec_b"])
+    }
+    assert (0, 499) in pairs
+
+
+def test_embedding_neardup_degenerate_bucket_completes(
+    ray_session, tmp_path
+):
+    """300 identical vectors all land in ONE LSH bucket; with
+    bucket_cap=64 the pipeline must complete (bounded per-group work)
+    and still report the planted near-dup among the distinct vectors."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(16).astype(np.float32)
+    degenerate = np.tile(base, (300, 1))
+    distinct = rng.standard_normal((20, 16)).astype(np.float32)
+    near = distinct[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    vecs = np.vstack([degenerate, distinct, near[None, :]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pairs = embedding_neardup_pairs(
+        str(tmp_path), threshold=0.95, bucket_cap=64
+    ).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (300, 320) in got  # planted near-dup of distinct[0]
+    # identical vectors pair within their chunks (cosine 1.0)
+    assert any(a < 300 and b < 300 for a, b in got)
+
+
+def test_minhash_scratch_dir_cleaned_up(ray_session, planted_dir):
+    """The ephemeral band-row parquet scratch is removed after the call
+    (ADVICE: every call used to leak a corpus-sized dump under /tmp)."""
+    import os
+
+    root = "/tmp/rika_ray_scratch"
+    before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    minhash_lsh_pairs(planted_dir, threshold=0.5).take_all()
+    after = set(os.listdir(root)) if os.path.isdir(root) else set()
+    assert not {d for d in after - before if d.startswith("minhash-bands-")}
+
+
+def test_minhash_explicit_checkpoint_dir_persists(ray_session, planted_dir, tmp_path):
+    """An explicit checkpoint_dir is the caller's to keep: band rows stay."""
+    ckpt = str(tmp_path / "bands")
+    minhash_lsh_pairs(planted_dir, threshold=0.5, checkpoint_dir=ckpt).take_all()
+    import glob
+
+    assert glob.glob(f"{ckpt}/*.parquet")
+
+
 def test_driver_testdata_has_no_neardups_at_09(ray_session):
     """Confirms the 0-row result of embedding_neardup_pairs on the driver
     testdata is genuinely correct: the exact baseline finds nothing ≥ 0.9
