@@ -6,6 +6,13 @@ words, token counting, shingling): lowercase, split on runs of whitespace,
 drop empties — chosen to be expressible 1:1 in DuckDB SQL
 (``regexp_split_to_array(lower(text), '\\s+')`` + empty filter) so the
 driver's oracle comparison is exact.
+
+Whitespace is normatively RE2's ``\\s`` — the class ``[\\t\\n\\f\\r ]``
+that pyarrow's ``split_pattern_regex`` AND DuckDB's
+``regexp_split_to_array`` both use (both are RE2) — spelled out explicitly
+here so the pure-Python path cannot drift to Python's wider Unicode
+``\\s`` (U+00A0 etc.) and produce n_words counts that disagree with the
+vectorized/oracle paths on the same document.
 """
 
 from __future__ import annotations
@@ -13,7 +20,7 @@ from __future__ import annotations
 import hashlib
 import re
 
-_WS_RE = re.compile(r"\s+")
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
 
 
 def tokenize(text: str | None) -> list[str]:
@@ -27,10 +34,10 @@ def tokenize_arrow(col):
     variant (pyarrow C++ kernels, no per-row Python): lower → trim →
     ``split_pattern_regex(\\s+)``.
 
-    RE2's ``\\s`` is ASCII whitespace — exactly what the DuckDB oracle's
-    ``regexp_split_to_array`` uses; Python ``tokenize()`` differs only on
-    exotic Unicode whitespace (U+00A0 etc.), which the trim step still
-    strips at string edges.
+    RE2's ``\\s`` is ``[\\t\\n\\f\\r ]`` — exactly what the DuckDB
+    oracle's ``regexp_split_to_array`` uses AND what ``tokenize()``'s
+    explicit class matches, so the three paths (Python, Arrow, SQL)
+    tokenize identically by construction.
 
     Returns ``(token_lists, n_tokens)`` where ``n_tokens`` is int64 with
     null/empty/whitespace-only rows counted as 0 (token lists for those
@@ -39,7 +46,10 @@ def tokenize_arrow(col):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(col))
+    # explicit RE2-\s character set (NOT utf8_trim_whitespace, which trims
+    # wider Unicode whitespace and would diverge from tokenize()/SQL on
+    # e.g. a leading U+00A0)
+    trimmed = pc.utf8_trim(pc.utf8_lower(col), characters="\t\n\f\r ")
     toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
     n = pc.list_value_length(toks).cast(pa.int64())
     blank = pc.fill_null(pc.equal(trimmed, ""), True)

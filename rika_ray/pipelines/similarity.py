@@ -176,19 +176,41 @@ def ann_topk_lsh(
     )
 
 
-def _train_centroids(
-    sf_dir: str, n_cells: int, seed: int, sample_fraction: float = 0.5
-) -> np.ndarray:
-    """Coarse quantizer via mini k-means on a bounded sample (Lloyd's, few
-    iterations, deterministic seed). The sample is one random_sample pass
-    — at 10^12 scale fraction shrinks so the sample stays ~10^5 vectors."""
+def _bounded_training_sample(
+    emb: ray.data.Dataset,
+    seed: int,
+    sample_fraction: float,
+    max_sample_rows: int,
+) -> list:
+    """Training rows with the driver-side materialization CAPPED in code:
+    the sample fraction is scaled down so the expected sample is
+    ``max_sample_rows`` (parquet row counts come from metadata, so
+    ``count()`` is not a data scan), and a ``limit`` hard-bounds the
+    actual rows regardless of sampling variance. At 10^12 vectors the
+    driver never sees more than ``max_sample_rows`` rows."""
+    n = emb.count()
+    frac = min(sample_fraction, max_sample_rows / max(n, 1))
     rows = (
-        _embeddings(sf_dir)
-        .random_sample(sample_fraction, seed=seed)
-        .take_all()
+        emb.random_sample(frac, seed=seed).limit(max_sample_rows).take_all()
     )
     if not rows:
-        rows = _embeddings(sf_dir).take_all()
+        rows = emb.limit(max_sample_rows).take_all()
+    return rows
+
+
+def _train_centroids(
+    sf_dir: str,
+    n_cells: int,
+    seed: int,
+    sample_fraction: float = 0.5,
+    max_sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Coarse quantizer via mini k-means on a bounded sample (Lloyd's, few
+    iterations, deterministic seed) — bounded by ``max_sample_rows`` in
+    code (see ``_bounded_training_sample``), not just by docstring."""
+    rows = _bounded_training_sample(
+        _embeddings(sf_dir), seed, sample_fraction, max_sample_rows
+    )
     x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -90,15 +90,29 @@ _DEL_NON_ALPHA_ASCII = str.maketrans(
 )
 
 
+# RE2 class for exactly string.punctuation (the four ASCII ranges
+# 0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E)
+_PUNCT_RE = r"[!-/:-@\[-\x60{-~]"
+# RE2 \pL = Unicode categories Lu/Ll/Lt/Lm/Lo — the exact set Python's
+# str.isalpha() counts
+_ALPHA_RE = r"\pL"
+
+
 class QualityScorer:
     """Actor-pool stage: per-document quality features (length, punctuation
     ratio, stopword ratio, mean word length, alpha ratio) — the standard
-    heuristic pre-filters for web-scale training corpora. State (stopword
-    set) initialized once per actor."""
+    heuristic pre-filters for web-scale training corpora.
+
+    Fully vectorized: tokenization/char counts run as pyarrow C++ kernels
+    (``tokenize_arrow``, ``count_substring_regex``) and the per-document
+    token reductions as ``np.bincount`` over list-parent indices — no
+    per-row Python in ``__call__``. ``score_one`` is the scalar REFERENCE
+    implementation; a differential test pins ``__call__`` to it."""
 
     def __init__(self) -> None:
         self.stopwords = _STOPWORDS
         self.punct = _PUNCT
+        self._stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
 
     def score_one(self, text: str) -> dict:
         # ratios stay RAW float64 (single divisions of integer counts):
@@ -130,15 +144,60 @@ class QualityScorer:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        scores = [self.score_one(v.as_py() or "") for v in batch["text"]]
-        cols = {"doc_id": batch["doc_id"]}
-        for key in (
-            "n_chars", "n_words", "stopword_ratio", "punct_ratio",
-            "alpha_ratio", "mean_word_len",
-        ):
-            typ = pa.int64() if key in ("n_chars", "n_words") else pa.float64()
-            cols[key] = pa.array([s[key] for s in scores], typ)
-        return pa.table(cols)
+        import numpy as np
+
+        n = len(batch)
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+        toks, n_words_arr = tokenize_arrow(text)
+        nw = n_words_arr.to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # blank rows tokenize to [""]: zero length, never a stopword —
+        # contributes nothing to either reduction, and nw is already 0
+        tok_len = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sum_len = np.bincount(parent, weights=tok_len, minlength=n)
+        stop_mask = pc.is_in(flat, value_set=self._stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parent[stop_mask], minlength=n)
+        n_punct = (
+            pc.count_substring_regex(text, _PUNCT_RE)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        n_alpha = (
+            pc.count_substring_regex(text, _ALPHA_RE)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        # integer operands are exact in float64 (≤2^53), so these divisions
+        # are bit-identical to score_one()'s int/int divisions
+        nw_safe = np.maximum(nw, 1)
+        nch_safe = np.maximum(n_chars, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "stopword_ratio": pa.array(
+                    np.where(nw > 0, n_stop / nw_safe, 0.0), pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    np.where(n_chars > 0, n_punct / nch_safe, 0.0),
+                    pa.float64(),
+                ),
+                "alpha_ratio": pa.array(
+                    np.where(n_chars > 0, n_alpha / nch_safe, 0.0),
+                    pa.float64(),
+                ),
+                "mean_word_len": pa.array(
+                    np.where(nw > 0, sum_len / nw_safe, 0.0), pa.float64()
+                ),
+            }
+        )
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:

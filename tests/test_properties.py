@@ -263,3 +263,62 @@ def test_fast_html_tokenizer_total(text):
 
     content, spans, meta = extract_html(text)
     assert isinstance(content, str) and isinstance(spans, list)
+
+
+@given(
+    st.lists(
+        st.text(
+            # exclude surrogates (not utf-8) and UNASSIGNED code points:
+            # RE2's Unicode tables are newer than CPython 3.11's, so chars
+            # assigned after Unicode 14 (e.g. U+31350) legitimately differ
+            # on isalpha — version drift, not an engine bug
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=["Cs", "Cn"]
+            ),
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_quality_scorer_vectorized_matches_scalar(texts):
+    """The vectorized (Arrow-kernel) QualityScorer.__call__ must be
+    BIT-IDENTICAL to the scalar reference score_one on arbitrary Unicode
+    text — including empty, whitespace-only, NBSP-laden and CJK rows."""
+    import pyarrow as pa
+
+    from rika_ray.pipelines.text_analysis import QualityScorer
+
+    scorer = QualityScorer()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = scorer(batch).to_pylist()
+    for row, text in zip(got, texts):
+        want = scorer.score_one(text)
+        for key, val in want.items():
+            assert row[key] == val, (key, repr(text), row[key], val)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_tokenize_python_matches_arrow(s):
+    """tokenize() (Python) and tokenize_arrow() (RE2) agree on token count
+    for ANY input — both split on the explicit RE2 \\s class, so exotic
+    Unicode whitespace (U+00A0 etc.) can't make n_words disagree across
+    the engine's own pipelines (round-2 ADVICE)."""
+    import pyarrow as pa
+
+    from rika_ray.functions.text import tokenize, tokenize_arrow
+
+    toks, n = tokenize_arrow(pa.array([s], pa.string()))
+    n_arrow = n.to_pylist()[0]
+    py = tokenize(s)
+    assert n_arrow == len(py)
+    if py:
+        got = [t for t in toks.to_pylist()[0] if t]
+        assert got == py

