@@ -301,24 +301,57 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# Stream-shaped custom operators (SURVEY.md "Custom operators": session
-# windows + as-of join as groupby(key).map_groups over ts-sorted groups;
-# partitioning assumption: one user's events fit one group)
+# Stream-shaped custom operators (SURVEY.md "Custom operators"): session
+# windows + as-of join via BATCHED sort-within-partition windowing — one
+# hash-shuffle on a bounded partition key (hash(user_id) % P), then ONE
+# vectorized pandas pass per partition. No per-user Python: the round-2
+# layout ran a Python fn per user group, paying Ray's per-group dispatch ×
+# millions of users; here group count is P (a few × pool width) and every
+# kernel inside (sort, cumsum sessionization, groupby agg, merge_asof
+# by=user_id) is a C-speed multi-user operation. Partitioning assumption:
+# one PARTITION (corpus/P, P tunable) fits a worker's heap — a hot user no
+# longer needs its own group, just its partition.
 # ---------------------------------------------------------------------------
+
+
+def _with_user_part(ds: ray.data.Dataset, n_parts: int) -> ray.data.Dataset:
+    """Append a bounded partition key hash(user_id) % n_parts (mix64 so
+    sequential ids spread; int64 for Ray's shuffle)."""
+    from rika_ray.functions.text import mix64
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        keys = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        part = (mix64(keys) % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    return ds.map_batches(_add_part, batch_format="pyarrow")
+
+
+def _session_parts() -> int:
+    # a few groups per pool slot: enough parallelism for the windowing
+    # stage without per-group overhead mattering; at cluster scale raise
+    # with the node count (pool_spec cap already tracks cluster CPUs)
+    return max(8, pool_spec()[1] * 4)
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap from
-    the previous event exceeds ``gap_minutes``. Expressed as a hash-shuffle
-    on user_id + per-group pandas windowing over the ts-sorted group."""
+    the previous event exceeds ``gap_minutes``. One partition-key shuffle,
+    then per partition: sort by (user_id, ts) and sessionize EVERY user in
+    one cumsum pass — session boundaries are user changes OR gap
+    exceedances, so no per-user loop exists anywhere."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g = g.assign(session_id=new_session.cumsum())
+    def _sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_session = g["user_id"].ne(g["user_id"].shift()) | (
+            g["ts"].diff() > gap
+        )
+        sid = new_session.cumsum()
         out = (
-            g.groupby("session_id")
+            g.groupby(sid)
             .agg(
                 user_id=("user_id", "first"),
                 session_start=("ts", "min"),
@@ -332,23 +365,30 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
         return out[["user_id", "session_start", "n", "sum_value"]]
 
     return (
-        _rp(sf_dir, "events", ["user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
+        _with_user_part(
+            _rp(sf_dir, "events", ["user_id", "ts", "value"]),
+            _session_parts(),
+        )
+        .groupby("part")
+        .map_groups(_sessions_part, batch_format="pandas")
         .sort(["user_id", "session_start"])
     )
 
 
 def purchase_last_click(sf_dir: str) -> ray.data.Dataset:
-    """As-of join inside the events log: for every purchase event, the most
-    recent preceding click by the same user (pd.merge_asof per user group —
-    the backward as-of pattern from ray_guide.md)."""
+    """As-of join inside the events log: for every purchase event, the
+    most recent preceding click by the same user. One partition-key
+    shuffle, then ONE ``pd.merge_asof(by="user_id")`` per partition — the
+    multi-user vectorized as-of (C kernel), not a merge per user."""
 
-    def _asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        purchases = g[g["event_type"] == "purchase"][["event_id", "ts"]]
-        clicks = g[g["event_type"] == "click"][["ts"]].rename(
-            columns={"ts": "last_click_ts"}
+    def _asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g.loc[
+            g["event_type"] == "purchase", ["event_id", "user_id", "ts"]
+        ].sort_values("ts", kind="mergesort")
+        clicks = (
+            g.loc[g["event_type"] == "click", ["user_id", "ts"]]
+            .rename(columns={"ts": "last_click_ts"})
+            .sort_values("last_click_ts", kind="mergesort")
         )
         if purchases.empty:
             return pd.DataFrame(
@@ -356,18 +396,22 @@ def purchase_last_click(sf_dir: str) -> ray.data.Dataset:
                  "last_click_ts": pd.Series(dtype="datetime64[us]")}
             )
         merged = pd.merge_asof(
-            purchases.sort_values("ts"),
-            clicks.sort_values("last_click_ts"),
+            purchases,
+            clicks,
             left_on="ts",
             right_on="last_click_ts",
+            by="user_id",
             direction="backward",
         )
         return merged[["event_id", "last_click_ts"]]
 
     return (
-        _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(_asof, batch_format="pandas")
+        _with_user_part(
+            _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+            _session_parts(),
+        )
+        .groupby("part")
+        .map_groups(_asof_part, batch_format="pandas")
         .sort("event_id")
     )
 
