@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -505,6 +505,65 @@ def generate_corpus(
             media_type="application/msword",
             charset=None,
             language="en",
+            claimed_lang="en",
+        )
+
+    # --- rtf: Rich Text Format (Tika-parity format breadth; the first
+    # non-covered format a real crawl corpus hits)
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 4))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_rtf(paras, title=title, author="Robert Frost")
+        b.add(
+            "rtf",
+            payload,
+            content=docgen.expected_rtf_content(paras),
+            content_type="application/rtf",
+            media_type="application/rtf",
+            charset=None,
+            language="en",
+            extra_metadata={"dc:creator": "Robert Frost", "dc:title": title},
+            claimed_lang="en",
+        )
+
+    # --- rtf_accents: cp1252 \'hh escapes + \uN unicode escapes
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["fr"], rng.randint(2, 3))
+            + " café déjà — résumé.",
+        ]
+        payload = docgen.build_rtf(paras)
+        b.add(
+            "rtf-accents",
+            payload,
+            content=docgen.expected_rtf_content(paras),
+            content_type="application/rtf",
+            media_type="application/rtf",
+            charset=None,
+            language="fr",
+            claimed_lang="fr",
+        )
+
+    # --- odt: OpenDocument Text package (mimetype-anchored detection)
+    for _ in range(max(2, n_per_family)):
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 4))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_odt(paras, title=title, creator="Robert Frost")
+        b.add(
+            "odt",
+            payload,
+            content=docgen.expected_odt_content(paras),
+            content_type="application/vnd.oasis.opendocument.text",
+            media_type="application/vnd.oasis.opendocument.text",
+            charset=None,
+            language="en",
+            extra_metadata={"dc:creator": "Robert Frost", "dc:title": title},
             claimed_lang="en",
         )
 

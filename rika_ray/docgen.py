@@ -344,6 +344,134 @@ def expected_docx_content(paragraphs: list[str]) -> str:
     return "".join(p + "\n" for p in paragraphs)
 
 
+def _rtf_escape(s: str) -> str:
+    """Text → RTF token stream: escape the three RTF specials, emit
+    non-cp1252-ASCII chars as \\uN with a '?' fallback (uc1)."""
+    out: list[str] = []
+    for ch in s:
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif ord(ch) < 128:
+            out.append(ch)
+        else:
+            try:
+                b = ch.encode("cp1252")
+                out.append(f"\\'{b[0]:02x}")
+            except UnicodeEncodeError:
+                cp = ord(ch)
+                if cp > 32767:
+                    cp -= 65536
+                out.append(f"\\u{cp}?")
+    return "".join(out)
+
+
+def build_rtf(paragraphs: list[str], title: str = "", author: str = "") -> bytes:
+    """A realistic RTF 1.x document: font/color tables (skip
+    destinations), \\info metadata, cp1252 + \\uN escaped body text, one
+    \\par per paragraph."""
+    info = ""
+    if title or author:
+        info = (
+            "{\\info"
+            + (f"{{\\title {_rtf_escape(title)}}}" if title else "")
+            + (f"{{\\author {_rtf_escape(author)}}}" if author else "")
+            + "}"
+        )
+    body = "".join(
+        f"\\pard\\plain\\f0\\fs24 {_rtf_escape(p)}\\par\n" for p in paragraphs
+    )
+    doc = (
+        "{\\rtf1\\ansi\\ansicpg1252\\deff0\\uc1"
+        "{\\fonttbl{\\f0\\froman Times New Roman;}{\\f1\\fswiss Arial;}}"
+        "{\\colortbl;\\red0\\green0\\blue0;\\red255\\green0\\blue0;}"
+        "{\\stylesheet{\\s0 Normal;}}"
+        "{\\*\\generator rika-ray synthetic;}"
+        + info
+        + "\n"
+        + body
+        + "}"
+    )
+    return doc.encode("ascii")
+
+
+def expected_rtf_content(paragraphs: list[str]) -> str:
+    """Normative RTF text layout: paragraph text has a leading space in
+    the source (the control-word delimiter consumes it), each paragraph
+    newline-terminated."""
+    return "".join(p + "\n" for p in paragraphs)
+
+
+_ODT_MANIFEST = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+    '<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.text"/>'
+    '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+    '<manifest:file-entry manifest:full-path="meta.xml" manifest:media-type="text/xml"/>'
+    "</manifest:manifest>"
+).encode()
+
+
+def build_odt(paragraphs: list[str], title: str = "", creator: str = "") -> bytes:
+    """An OpenDocument Text package: STORED ``mimetype`` first member (the
+    ODF-mandated detection anchor), content.xml with text:p paragraphs
+    (some runs nested in text:span), meta.xml with dc:title/dc:creator."""
+    paras_xml = []
+    for i, p in enumerate(paragraphs):
+        if i % 2 == 1 and len(p) > 10:
+            # exercise nested-span flattening: split the RAW text (so no
+            # entity is ever cut), escape each half separately
+            mid = len(p) // 2
+            esc = (
+                _xml_escape(p[:mid])
+                + '<text:span text:style-name="T1">'
+                + _xml_escape(p[mid:])
+                + "</text:span>"
+            )
+        else:
+            esc = _xml_escape(p)
+        paras_xml.append(f'<text:p text:style-name="Standard">{esc}</text:p>')
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text>"
+        + "".join(paras_xml)
+        + "</office:text></office:body></office:document-content>"
+    ).encode()
+    meta = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-meta '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<office:meta>"
+        f"<dc:title>{_xml_escape(title)}</dc:title>"
+        f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+        "</office:meta></office:document-meta>"
+    ).encode()
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        # mimetype MUST be first and STORED (uncompressed) per ODF spec
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, b"application/vnd.oasis.opendocument.text")
+        for name, data in [
+            ("content.xml", content),
+            ("meta.xml", meta),
+            ("META-INF/manifest.xml", _ODT_MANIFEST),
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def expected_odt_content(paragraphs: list[str]) -> str:
+    """Normative ODT text layout: each paragraph newline-terminated
+    (nested spans flatten transparently)."""
+    return "".join(p + "\n" for p in paragraphs)
+
+
 # ---------------------------------------------------------------------------
 # Legacy binary DOC (real CFB container + Word97 FibBase)
 # ---------------------------------------------------------------------------

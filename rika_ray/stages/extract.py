@@ -31,10 +31,12 @@ from rika_ray.stages.office import (
     OfficeParseError,
     extract_doc,
     extract_docx,
+    extract_odt,
     extract_pptx,
     extract_xlsx,
 )
 from rika_ray.stages.pdf_extract import extract_pdf
+from rika_ray.stages.rtf import extract_rtf
 
 MSWORD = "application/msword"
 
@@ -69,6 +71,13 @@ class ExtractStage:
             sniff_mod.XLSX: self._do_xlsx,
             sniff_mod.PPTX: self._do_pptx,
             sniff_mod.OLE2: self._do_ole2,
+            sniff_mod.RTF: self._do_rtf,
+            # text:p extraction applies to every ODF package kind (ODS
+            # cells and ODP frames hold text:p too)
+            **{
+                f"application/vnd.oasis.opendocument.{kind}": self._do_odt
+                for kind in ("text", "spreadsheet", "presentation")
+            },
             **{m: self._do_text for m in _TEXTUAL},
             **{m: self._do_image for m in _IMAGES},
         }
@@ -98,6 +107,14 @@ class ExtractStage:
 
     def _do_pptx(self, data: bytes, media: str):
         content, spans, meta = extract_pptx(data)
+        return content, media, None, spans, meta
+
+    def _do_rtf(self, data: bytes, media: str):
+        content, spans, meta = extract_rtf(data)
+        return content, media, None, spans, meta
+
+    def _do_odt(self, data: bytes, media: str):
+        content, spans, meta = extract_odt(data)
         return content, media, None, spans, meta
 
     def _do_ole2(self, data: bytes, media: str):

@@ -271,6 +271,72 @@ def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     return content, spans, {}
 
 
+_ODF_TEXT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_ODF_OFFICE_NS = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+
+def _odf_para_text(el) -> str:
+    """Flatten one ODF paragraph/heading: nested spans recurse;
+    ``text:tab`` → TAB, ``text:line-break`` → NL, ``text:s`` → its
+    ``c``-count spaces (ODF whitespace-expansion rules)."""
+    parts: list[str] = [el.text or ""]
+    for child in el:
+        tag = child.tag
+        if tag == f"{_ODF_TEXT_NS}tab":
+            parts.append("\t")
+        elif tag == f"{_ODF_TEXT_NS}line-break":
+            parts.append("\n")
+        elif tag == f"{_ODF_TEXT_NS}s":
+            parts.append(" " * int(child.get(f"{_ODF_TEXT_NS}c", "1")))
+        else:
+            parts.append(_odf_para_text(child))
+        parts.append(child.tail or "")
+    return "".join(parts)
+
+
+def extract_odt(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
+    """(content, spans, metadata) from an OpenDocument Text package:
+    unzip ``content.xml``, walk ``text:p``/``text:h`` in document order,
+    read ``meta.xml`` for dc:title / dc:creator. Same newline-terminated
+    paragraph spec as the other word-processor kernels."""
+    try:
+        zf = zipfile.ZipFile(BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise OfficeParseError(f"bad zip: {e}") from None
+    names = set(zf.namelist())
+    if "content.xml" not in names:
+        raise OfficeParseError("no content.xml")
+    try:
+        root = ET.fromstring(zf.read("content.xml"))
+    except ET.ParseError as e:
+        raise OfficeParseError(f"bad content.xml: {e}") from None
+
+    paragraphs = [
+        _odf_para_text(el)
+        for el in root.iter()
+        if el.tag in (f"{_ODF_TEXT_NS}p", f"{_ODF_TEXT_NS}h")
+    ]
+    spans = [
+        {"page": 0, "order": i, "kind": "p", "text": t}
+        for i, t in enumerate(paragraphs)
+    ]
+    content = "".join(t + "\n" for t in paragraphs)
+
+    metadata: dict[str, str] = {}
+    if "meta.xml" in names:
+        try:
+            meta_root = ET.fromstring(zf.read("meta.xml"))
+            title = meta_root.findtext(f".//{_DC_NS}title")
+            creator = meta_root.findtext(f".//{_DC_NS}creator")
+            if title:
+                metadata["dc:title"] = title
+            if creator:
+                metadata["dc:creator"] = creator
+        except ET.ParseError:
+            pass
+    return content, spans, metadata
+
+
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _DC_NS = "{http://purl.org/dc/elements/1.1/}"
 _EP_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/extended-properties}"

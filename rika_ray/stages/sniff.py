@@ -30,6 +30,8 @@ DOCX = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 XLSX = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 PPTX = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
 OLE2 = "application/x-ole-storage"
+RTF = "application/rtf"
+ODT = "application/vnd.oasis.opendocument.text"
 HTML = "text/html"
 XML = "application/xml"
 PLAIN = "text/plain"
@@ -68,6 +70,30 @@ def _zip_member_names(zone: bytes) -> list[bytes]:
     return names
 
 
+def _odf_mimetype(prefix: bytes) -> str | None:
+    """ODF media type from the package's ``mimetype`` member. The ODF spec
+    mandates it as the FIRST member, STORED (uncompressed), so its content
+    sits at a computable offset after the first local file header —
+    anchored to that header's name/extra fields, never a raw substring
+    scan of the window."""
+    if not prefix.startswith(b"PK\x03\x04") or len(prefix) < 34:
+        return None
+    nlen = int.from_bytes(prefix[26:28], "little")
+    xlen = int.from_bytes(prefix[28:30], "little")
+    if prefix[30 : 30 + nlen] != b"mimetype":
+        return None
+    start = 30 + nlen + xlen
+    body = prefix[start : start + 128]
+    if body.startswith(b"application/vnd.oasis.opendocument."):
+        end = 35
+        while end < len(body) and (
+            body[end : end + 1].islower() or body[end : end + 1] == b"-"
+        ):
+            end += 1
+        return body[:end].decode("ascii", errors="replace")
+    return None
+
+
 def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
     """Classify a payload from its first bytes (and, for ZIP containers,
     its last bytes). Pure function — the normative magic-byte table.
@@ -82,11 +108,17 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return GIF
     if prefix.startswith(b"\xff\xd8\xff"):
         return JPEG
+    if prefix.startswith(b"{\\rtf"):
+        return RTF
     if prefix.startswith(b"PK\x03\x04"):
-        # OOXML subtype from ZIP MEMBER NAMES only (local-file-header and
-        # central-directory name fields), never a raw substring scan of the
-        # window — a generic ZIP containing 'crossword/notes.txt' must stay
-        # application/zip.
+        # ODF first (mimetype member anchored at the mandated first-entry
+        # offset), then OOXML subtype from ZIP MEMBER NAMES only
+        # (local-file-header and central-directory name fields), never a
+        # raw substring scan of the window — a generic ZIP containing
+        # 'crossword/notes.txt' must stay application/zip.
+        odf = _odf_mimetype(prefix)
+        if odf is not None:
+            return odf
         names = _zip_member_names(prefix) + _zip_member_names(suffix)
         if any(nm.startswith(b"word/") for nm in names):
             return DOCX

@@ -345,3 +345,123 @@ def test_doc_piece_table():
     idx = bad.find(b"\x02", 512 * 2)  # inside the 0Table stream region
     with _pytest.raises(OfficeParseError):
         extract_doc(bytes(bad[:1200]))
+
+
+def test_rtf_roundtrip_and_features():
+    """RTF kernel: escapes, skip destinations, \\uN with uc fallback,
+    metadata — and sniff recognizes the signature."""
+    from rika_ray import docgen
+    from rika_ray.stages.rtf import extract_rtf
+    from rika_ray.stages.sniff import sniff_bytes
+
+    paras = ["Plain paragraph.", "Accents: café déjà — naïveté.",
+             "Unicode beyond cp1252: ☃ 日本語."]
+    payload = docgen.build_rtf(paras, title="T&ítle", author="A{u}thor")
+    assert sniff_bytes(payload[:2048], payload[-4096:]) == "application/rtf"
+    content, spans, meta = extract_rtf(payload)
+    assert content == docgen.expected_rtf_content(paras)
+    assert meta["dc:title"] == "T&ítle"
+    assert meta["dc:creator"] == "A{u}thor"
+    assert [s["text"] for s in spans] == paras
+
+
+def test_rtf_hand_written_constructs():
+    """Hand-authored RTF exercising constructs the generator doesn't emit:
+    \\tab, \\line, literal braces, \\~ nbsp, uc2 skip counts, unknown
+    control words (ignored per spec), raw newlines (ignored)."""
+    from rika_ray.stages.rtf import extract_rtf
+
+    doc = (
+        rb"{\rtf1\ansi\uc2 Hello\tab world\line second\~half "
+        rb"\{braced\} \unknownword more\par"
+        b"\nnext\r\nline text\\par}"
+    )
+    content, spans, _ = extract_rtf(doc)
+    assert content.split("\n")[0] == "Hello\tworld"
+    assert "second half" in content
+    assert "{braced}" in content
+    assert "more" in content
+    assert "nextline text" in content  # raw CR/LF ignored
+
+
+def test_rtf_uc_skip_protocol():
+    r"""\uN emits the code point and the next uc chars (the ANSI
+    fallback) are swallowed — including \'hh fallbacks."""
+    from rika_ray.stages.rtf import extract_rtf
+
+    content, _, _ = extract_rtf(rb"{\rtf1\uc1 a\u9731?b\par}")
+    assert content == "a☃b\n"
+    content2, _, _ = extract_rtf(rb"{\rtf1\uc1 a\u233\'e9b\par}")
+    assert content2 == "aéb\n"
+
+
+def test_rtf_not_rtf_raises():
+    import pytest as _pytest
+
+    from rika_ray.stages.rtf import RtfParseError, extract_rtf
+
+    with _pytest.raises(RtfParseError):
+        extract_rtf(b"this is not rtf at all")
+
+
+def test_odt_roundtrip_and_sniff_anchoring():
+    """ODT kernel + detection: the mimetype member anchors the subtype;
+    a generic ZIP whose FIRST member isn't 'mimetype' must NOT become
+    ODT even if it contains the mimetype string somewhere."""
+    import zipfile
+    from io import BytesIO
+
+    from rika_ray import docgen
+    from rika_ray.stages.office import extract_odt
+    from rika_ray.stages.sniff import sniff_bytes
+
+    paras = ["First paragraph.", "Second paragraph long enough to split."]
+    payload = docgen.build_odt(paras, title="OT", creator="OC")
+    assert (
+        sniff_bytes(payload[:2048], payload[-4096:])
+        == "application/vnd.oasis.opendocument.text"
+    )
+    content, spans, meta = extract_odt(payload)
+    assert content == docgen.expected_odt_content(paras)
+    assert meta == {"dc:title": "OT", "dc:creator": "OC"}
+
+    # decoy zip: same string as CONTENT of a differently-named first
+    # member → stays application/zip
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("readme.txt", "application/vnd.oasis.opendocument.text")
+    decoy = buf.getvalue()
+    assert sniff_bytes(decoy[:2048], decoy[-4096:]) == "application/zip"
+
+
+def test_odt_whitespace_elements():
+    """ODF text:tab / text:line-break / text:s expand per spec."""
+    import zipfile
+    from io import BytesIO
+
+    from rika_ray.stages.office import extract_odt
+
+    content_xml = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text>"
+        '<text:p>a<text:tab/>b<text:line-break/>c<text:s text:c="3"/>d</text:p>'
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content_xml)
+    content, _, _ = extract_odt(buf.getvalue())
+    assert content == "a\tb\nc   d\n"
+
+
+def test_odt_bad_zip_raises():
+    import pytest as _pytest
+
+    from rika_ray.stages.office import OfficeParseError, extract_odt
+
+    with _pytest.raises(OfficeParseError):
+        extract_odt(b"PK\x03\x04 not really a zip")
