@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -312,7 +312,7 @@ def generate_corpus(
             )
 
     # --- plain_shiftjis: Japanese text — charset detected structurally,
-    # language UNDETERMINED (out-of-model script, certainty-floor policy)
+    # language "ja" via the script-histogram shortcut (kana+han dominance)
     _JA_SENTENCES = [
         "朝の駅は電車の音で始まります。",
         "人々はパンと新聞を持って歩きます。",
@@ -334,9 +334,66 @@ def generate_corpus(
             content_type="text/plain; charset=Shift_JIS",
             media_type="text/plain",
             charset="Shift_JIS",
-            language=None,
+            language="ja",
             extra_metadata={"Content-Encoding": "Shift_JIS"},
         )
+
+    # --- plain_{gb18030,big5,euckr}: CJK multi-byte charsets — detected by
+    # structural decode + script dominance + common-character gate; language
+    # via the script-histogram shortcut (zh / ko)
+    _CJK_FAMILIES = [
+        (
+            "plain-gb18030", "gb18030", "GB18030", "zh",
+            [
+                "早晨的车站从火车的声音开始。",
+                "人们带着面包和报纸走路。",
+                "中午广场上满是学生和职员。",
+                "到了晚上街道又安静下来。",
+                "雨是在夜里下的。",
+            ],
+            "文章编号 {k}。\n",
+        ),
+        (
+            "plain-big5", "big5", "Big5", "zh",
+            [
+                "早晨的車站從火車的聲音開始。",
+                "人們帶著麵包和報紙走路。",
+                "中午廣場上滿是學生和職員。",
+                "到了晚上街道又安靜下來。",
+                "雨是在夜裡下的。",
+            ],
+            "文章編號 {k}。\n",
+        ),
+        (
+            "plain-euckr", "euc_kr", "EUC-KR", "ko",
+            [
+                "아침의 역은 기차 소리로 시작됩니다.",
+                "사람들은 빵과 신문을 들고 걷습니다.",
+                "정오에는 광장이 학생들로 가득합니다.",
+                "저녁이 되면 거리는 다시 조용해집니다.",
+                "비는 밤사이에 내렸습니다.",
+            ],
+            "기사 번호 {k}.\n",
+        ),
+    ]
+    for fam, codec, cs_name, lang_code, sentences, tail_fmt in _CJK_FAMILIES:
+        for k in range(max(2, n_per_family)):
+            gen = (
+                "".join(
+                    sentences[(k + j) % len(sentences)] for j in range(3)
+                )
+                + tail_fmt.format(k=k)
+            )
+            b.add(
+                fam,
+                gen.encode(codec),
+                content=gen,
+                content_type=f"text/plain; charset={cs_name}",
+                media_type="text/plain",
+                charset=cs_name,
+                language=lang_code,
+                extra_metadata={"Content-Encoding": cs_name},
+            )
 
     # --- html_boilerplate: nav/sidebar/footer around planted article
     for _ in range(max(10, n_per_family * 3)):

@@ -127,6 +127,60 @@ _SEED_TEXT = {
         "dagens nyheter. När kvällen kommer tänds lamporna en efter en "
         "och gatorna blir stilla igen."
     ),
+    "tr": (
+        "Şehirde sabahlar trenlerin sesiyle ve ana cadde boyunca küçük "
+        "dükkanların yavaş yavaş açılmasıyla başlar. İnsanlar ekmek ve "
+        "gazete taşır, hava gece yağan yağmurun kokusunu taşır. Öğle "
+        "vakti meydanlar taş basamaklarda öğle yemeği yiyen ve günün "
+        "haberlerini konuşan öğrenciler ve memurlarla dolar. Akşam "
+        "olunca lambalar birer birer yanar ve sokaklar yeniden "
+        "sessizleşir."
+    ),
+    "cs": (
+        "Ve městě začínají rána zvukem vlaků a pomalým otevíráním malých "
+        "obchodů podél hlavní ulice. Lidé nesou chléb a noviny a vzduch "
+        "voní deštěm, který padal v noci. V poledne jsou náměstí plná "
+        "studentů a úředníků, kteří obědvají na kamenných schodech a "
+        "mluví o zprávách dne. Když přijde večer, lampy se rozsvěcují "
+        "jedna po druhé a ulice jsou zase tiché."
+    ),
+    "da": (
+        "I byen begynder morgenerne med lyden af tog og den langsomme "
+        "åbning af de små butikker langs hovedgaden. Folk bærer brød og "
+        "aviser, og luften dufter af regnen, der faldt i løbet af "
+        "natten. Ved middagstid er torvene fulde af studerende og "
+        "kontorfolk, som spiser frokost på stentrapperne og taler om "
+        "dagens nyheder. Når aftenen kommer, tændes lamperne en efter "
+        "en, og gaderne bliver stille igen."
+    ),
+    "fi": (
+        "Kaupungissa aamut alkavat junien äänellä ja pienten kauppojen "
+        "hitaalla avautumisella pääkadun varrella. Ihmiset kantavat "
+        "leipää ja sanomalehtiä, ja ilmassa tuoksuu yöllä satanut sade. "
+        "Puoleenpäivään mennessä aukiot ovat täynnä opiskelijoita ja "
+        "toimistotyöntekijöitä, jotka syövät lounasta kiviportailla ja "
+        "puhuvat päivän uutisista. Illan tullen lamput sytytetään yksi "
+        "kerrallaan ja kadut hiljenevät jälleen."
+    ),
+    "hu": (
+        "A városban a reggelek a vonatok hangjával és a kis boltok lassú "
+        "nyitásával kezdődnek a főutca mentén. Az emberek kenyeret és "
+        "újságot visznek, a levegőben az éjszaka esett eső illata "
+        "érződik. Délre a terek megtelnek diákokkal és hivatalnokokkal, "
+        "akik a kőlépcsőkön ebédelnek és a nap híreiről beszélgetnek. "
+        "Amikor eljön az este, a lámpák egymás után gyulladnak fel, és "
+        "az utcák újra elcsendesednek."
+    ),
+    "ro": (
+        "În oraș diminețile încep cu sunetul trenurilor și cu "
+        "deschiderea lentă a micilor magazine de-a lungul străzii "
+        "principale. Oamenii duc pâine și ziare, iar aerul miroase a "
+        "ploaia care a căzut în timpul nopții. La amiază piețele sunt "
+        "pline de studenți și funcționari care iau prânzul pe treptele "
+        "de piatră și vorbesc despre știrile zilei. Când vine seara, "
+        "lămpile se aprind una câte una și străzile devin din nou "
+        "liniștite."
+    ),
 }
 
 # Function-word inventories for the languages without a corpus WORD_POOL —
@@ -142,7 +196,64 @@ _FUNCTION_WORDS = {
           "jej ten ta to on ona my oni też przez od dla przy były być",
     "sv": "den det en ett av i på för med inte att sig genom är var mer "
           "som men eller deras den här denna han hon vi de också till",
+    "tr": "ve bir bu da de için ile olarak daha çok en gibi ama ancak "
+          "veya ki o ben sen biz siz onlar ne var yok olan oldu değil mi "
+          "her şey sonra önce kadar şu hem ya diye göre",
+    "cs": "a v na se je že s z do o k i po ale jako za od při nebo už "
+          "být byl byla bylo jsou jsem jsme tento tato toto ten ta to on "
+          "ona my vy oni také ještě když aby před mezi",
+    "da": "og i at det er en den til på de med han af for ikke der var "
+          "som jeg om et men hun sig sin har vi os deres også når kun "
+          "efter over under mellem hvad hvor hvis nu",
+    "fi": "ja on ei se että hän oli mutta olla joka tämä kun ovat mitä "
+          "hänen sen kanssa kuin myös jo niin vain vielä sitten koska "
+          "jos me te he minä sinä nyt mukaan ilman",
+    "hu": "a az és hogy nem is egy ez volt de meg már csak el ha mint "
+          "még vagy ők mi ti én te ő minden olyan nagyon lehet kell "
+          "majd után előtt között ellen nélkül szerint",
+    "ro": "și de a în la cu pe care este o un pentru nu se mai din sau "
+          "dar când ca după ce această acest sunt fost fi am ai are "
+          "avem ei ele noi voi fără între despre până",
 }
+
+# Script-histogram shortcut: ja/zh/ko/ar are decided by Unicode script
+# dominance (vectorized), not trigrams — Han characters are shared between
+# Chinese and Japanese, so the kana/hangul/han split is the robust signal
+# (the same block-normalization real detectors apply before n-grams).
+_SCRIPT_MIN_NONASCII = 8
+
+
+def _script_shortcut(text: str) -> str | None:
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    non_ascii = cp[cp >= 0x80]
+    n = non_ascii.size
+    if n < _SCRIPT_MIN_NONASCII:
+        return None
+    hangul = (
+        ((non_ascii >= 0xAC00) & (non_ascii <= 0xD7A3))
+        | ((non_ascii >= 0x1100) & (non_ascii <= 0x11FF))
+        | ((non_ascii >= 0x3130) & (non_ascii <= 0x318F))
+    ).sum() / n
+    kana = (((non_ascii >= 0x3040) & (non_ascii <= 0x30FF)).sum()) / n
+    han = (
+        ((non_ascii >= 0x4E00) & (non_ascii <= 0x9FFF))
+        | ((non_ascii >= 0x3400) & (non_ascii <= 0x4DBF))
+    ).sum() / n
+    arabic = (
+        ((non_ascii >= 0x0600) & (non_ascii <= 0x06FF))
+        | ((non_ascii >= 0x0750) & (non_ascii <= 0x077F))
+    ).sum() / n
+    if hangul >= 0.3:
+        return "ko"
+    if kana >= 0.05 and kana + han >= 0.3:
+        return "ja"
+    if han >= 0.3:
+        return "zh"
+    if arabic >= 0.3:
+        return "ar"
+    return None
 
 
 _CLEAN_RE = re.compile(r"[\W\d_]+", re.UNICODE)
@@ -211,9 +322,12 @@ class NBClassifier:
             self.floor[li] = np.log(1.0 / total)
 
     def scored(self, text_counts) -> tuple[str, float]:
-        """(best language, mean per-gram log-probability). The mean is the
-        certainty signal: out-of-model scripts hit the unseen-gram floor
-        on every trigram and score far below any in-model text."""
+        """(best language, mean per-gram log-prob MARGIN above the winner's
+        unseen-gram floor). The margin is the certainty signal: out-of-model
+        scripts hit the floor on every trigram and score ≈0, while in-model
+        text scores well above it. Unlike an absolute mean log-prob, the
+        margin is invariant to vocabulary size, so adding languages to the
+        model does not move the calibration point."""
         import numpy as np
 
         ids, cnts = [], []
@@ -231,7 +345,8 @@ class NBClassifier:
         ).sum(axis=0) + n_miss * self.floor
         li = int(totals.argmax())
         n_grams = max(1, sum(cnts) + n_miss)
-        return self.langs[li], float(totals[li]) / n_grams
+        mean_lp = float(totals[li]) / n_grams
+        return self.langs[li], mean_lp - float(self.floor[li])
 
     def best(self, text_counts) -> str:
         return self.scored(text_counts)[0]
@@ -239,9 +354,10 @@ class NBClassifier:
 
 # Certainty floor (reference: the Optimaize detector is certainty-
 # thresholded, lib/rika.rb:58-61). Calibrated on this model: in-model text
-# scores ≥ -7.8 mean log-prob per trigram; out-of-model scripts (CJK,
-# Arabic, Greek, ...) hit the unseen-gram floor everywhere and score -8.1.
-MIN_MEAN_LOGPROB = -7.95
+# has a mean-log-prob margin ≥ 0.59 above the winner's unseen-gram floor;
+# out-of-model scripts (Greek, Hebrew, Thai, ...) hit the floor on every
+# trigram and score ≈ 0; random ASCII gibberish scores ≈ 0.06.
+MIN_MARGIN = 0.25
 
 
 def detect_language(
@@ -254,11 +370,14 @@ def detect_language(
     stripped = text.strip()
     if len(stripped) < MIN_CHARS:
         return None
+    script = _script_shortcut(stripped[:_DETECT_PREFIX])
+    if script is not None:
+        return script
     counts = _trigram_counts(stripped, _DETECT_PREFIX)
     if not counts:
         return None
-    lang, mean_lp = profiles.scored(counts)
-    if mean_lp < MIN_MEAN_LOGPROB:
+    lang, margin = profiles.scored(counts)
+    if margin < MIN_MARGIN:
         return None
     return lang
 

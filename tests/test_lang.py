@@ -58,21 +58,59 @@ def test_ten_language_breadth_on_novel_text():
               "waited with their tickets in hand while the rain fell.",
         "ru": "Поезд прибыл на станцию с опозданием, и пассажиры ждали "
               "с билетами в руках, пока дождь падал на платформу.",
+        "tr": "Tren istasyona geç geldi ve yolcular biletleri ellerinde "
+              "beklerken yağmur ahşap platformun üzerine yağıyordu.",
+        "cs": "Vlak přijel na nádraží pozdě a cestující čekali s "
+              "jízdenkami v rukou, zatímco déšť padal na dřevěné "
+              "nástupiště.",
+        "da": "Toget ankom for sent til stationen, og passagererne "
+              "ventede med deres billetter i hånden, mens regnen faldt "
+              "over den gamle perron.",
+        "fi": "Juna saapui asemalle myöhässä ja matkustajat odottivat "
+              "liput käsissään, kun sade putosi puiselle laiturille.",
+        "hu": "A vonat késve érkezett az állomásra, és az utasok a "
+              "jegyeikkel a kezükben vártak, miközben az eső a fa "
+              "peronra hullott.",
+        "ro": "Trenul a ajuns târziu în gară și călătorii așteptau cu "
+              "biletele în mână, în timp ce ploaia cădea pe peronul de "
+              "lemn.",
     }
     for expect, text in novel.items():
         assert detect_language(text, profiles) == expect, expect
 
 
+def test_script_shortcut_languages():
+    """ja/zh/ko/ar are decided by Unicode-script dominance (kana vs hangul
+    vs han split), mirroring the block-normalization step real detectors
+    apply before n-grams. Mixed ASCII markup must not break it."""
+    profiles = build_profiles()
+    cases = {
+        "ja": "これは日本語のテキストです。言語検出器はこれを日本語として検出するべきです。",
+        "zh": "这是中文文本。语言检测器应该检测出中文。城市的早晨从火车的声音开始。",
+        "ko": "이것은 한국어 텍스트입니다. 언어 감지기는 이것을 한국어로 감지해야 합니다.",
+        "ar": "هذا نص باللغة العربية ويجب أن يتعرف عليه كاشف اللغة بشكل صحيح تماما.",
+    }
+    for expect, text in cases.items():
+        assert detect_language(text, profiles) == expect, expect
+        # web-page flavored: ASCII markup around the payload
+        wrapped = "<html> id=42 " + text + " http://example.com </html>"
+        assert detect_language(wrapped, profiles) == expect, expect
+    # kanji-heavy Japanese with a little kana still splits from Chinese
+    ja_kanji = "東京都内の鉄道網は世界有数の規模を誇り、毎日数百万人が利用しています。"
+    assert detect_language(ja_kanji, profiles) == "ja"
+
+
 def test_out_of_model_script_is_undetermined():
-    """Certainty floor: long in-length but out-of-model text (Japanese,
-    Chinese, Arabic, Greek) must yield None, never a forced bin —
-    reference analogue: Optimaize's certainty threshold
-    (/root/reference/lib/rika.rb:58-61)."""
+    """Certainty floor: long in-length but out-of-model text (Greek,
+    Hebrew, Thai) must yield None, never a forced bin — reference
+    analogue: Optimaize's certainty threshold
+    (/root/reference/lib/rika.rb:58-61). The margin-based floor is
+    vocabulary-size invariant, so adding languages cannot re-bin these."""
     profiles = build_profiles()
     for text in (
-        "これは日本語のテキストです。言語検出器はこれを未確定として扱うべきです。",
-        "这是中文文本。语言检测器应该把它当作未确定。城市的早晨从火车的声音开始。",
-        "هذا نص باللغة العربية ويجب أن يعامله كاشف اللغة على أنه غير محدد تماما.",
         "Αυτό είναι ελληνικό κείμενο και ο ανιχνευτής γλώσσας πρέπει να το θεωρήσει απροσδιόριστο.",
+        "זהו טקסט בעברית וגלאי השפה צריך להתייחס אליו כבלתי ניתן לקביעה לחלוטין.",
+        "นี่คือข้อความภาษาไทยและตัวตรวจจับภาษาควรถือว่าไม่สามารถระบุได้",
+        "xzq wvv kjq plm zzx qqw vnb mmx zoq trw ghk bnm",
     ):
         assert detect_language(text, profiles) is None, text[:20]

@@ -278,6 +278,64 @@ def test_legacy_charset_detection():
         assert decoded == text and cs == expected
 
 
+def test_cjk_multibyte_charset_detection():
+    """M2 breadth: GB18030 / Big5 / EUC-KR via structural decode +
+    script dominance + common-character frequency gate (ICU-style). The
+    confusable pairs are the real test: Hangul bytes alias the KOI8-R
+    lowercase plane, any 0xA1-0xFE pair stream is structurally valid in
+    all three GR-plane encodings, and Big5 trails land in ASCII."""
+    from rika_ray.stages.charset import decode_text, detect_charset
+
+    zh = (
+        "的一是不了在人有我他这个上们来到时大地为子中你说生国年着就那"
+        "和要她出也得很好。今天天气不错，我们去公园散步。"
+    )
+    zh_trad = (
+        "這是一個很大的問題。他們說今天天氣不錯，我們去公園散步。"
+        "的一是不了在人有我他這個上們來到時大地為子中你說生國年。"
+    )
+    ko = (
+        "이것은 아주 좋은 하루입니다. 사람들이 거리에서 이야기를 하고 "
+        "있습니다. 우리는 내일 다시 만나기로 했습니다."
+    )
+    cases = [
+        (zh, "gb18030", "GB18030"),
+        (zh_trad, "big5", "Big5"),
+        (ko, "euc_kr", "EUC-KR"),
+        # mixed ASCII + CJK (a web page with markup-ish English)
+        ("price list: " + zh + " end of document", "gb18030", "GB18030"),
+        (ko + " (see http://example.com for details)", "euc_kr", "EUC-KR"),
+    ]
+    for text, codec, expected in cases:
+        data = text.encode(codec)
+        assert detect_charset(data) == expected, (codec, expected)
+        decoded, cs = decode_text(data)
+        assert decoded == text and cs == expected
+    # Cyrillic text is structurally valid under all three GR planes but
+    # must never clear the common-character gate
+    ru = "привет мир это русский текст для проверки кодировок"
+    assert detect_charset(ru.encode("cp1251")) == "windows-1251"
+    assert detect_charset(ru.encode("koi8-r")) == "KOI8-R"
+    # Japanese stays Shift_JIS (double-byte units are valid GBK)
+    ja = "こんにちは世界、これは日本語のテキストです。"
+    assert detect_charset(ja.encode("shift_jis")) == "Shift_JIS"
+
+
+def test_cjk_charset_window_truncation():
+    """A multi-byte unit cut by the 2 KiB detection window must not
+    reject the candidate; a corrupt unit mid-stream must."""
+    from rika_ray.stages.charset import detect_charset
+
+    zh = "今天天气不错我们去公园散步他说这是一个很大的问题的一是不了在人"
+    big = (zh * 40).encode("gb18030")
+    # place the window edge mid-unit: 2048 is even, each char is 2 bytes,
+    # prepend one ASCII byte to shift parity
+    assert detect_charset(b"x" + big) == "GB18030"
+    corrupt = bytearray(zh.encode("gb18030"))
+    corrupt[10] = 0x20  # break a trail byte mid-stream
+    assert detect_charset(bytes(corrupt)) != "GB18030"
+
+
 def test_legacy_charset_fuzz_total():
     """detect/decode never raise on arbitrary bytes (the M1-style totality
     property extended to M2)."""
