@@ -49,11 +49,19 @@ def read_files_as_web_pages(paths: list[str]) -> ray.data.Dataset:
 def fetch_to_table(urls: list[str], timeout: float = 10.0) -> pa.Table:
     """HTTP(S) URLs → web_pages-shaped Arrow table with per-URL error
     columns appended (never raises; failed fetches produce rows with
-    ``html=None`` plus error_type/error_message). Sandbox note: no network
-    → every row comes back as an error row, which downstream stages pass
-    through unchanged."""
+    ``html=None`` plus error_type/error_message).
+
+    Failure mapping mirrors the reference's rescue taxonomy
+    (``lib/rika/cli/rika_command.rb:197-216`` and the loopback-server
+    expectations in ``spec/integration/web_url_processing_spec.rb``):
+    redirects are followed (urllib's default opener, like Tika's client);
+    4xx/5xx → ``io_error`` with the status code and URL in the message
+    (the reference raises IOException matching /500|Server Error/);
+    unresolvable hosts → ``unknown_host``; non-http(s) schemes →
+    ``bad_url_scheme``; unparseable targets → ``invalid_url``."""
     import socket
     import urllib.error
+    import urllib.parse
     import urllib.request
 
     rows = []
@@ -61,16 +69,29 @@ def fetch_to_table(urls: list[str], timeout: float = 10.0) -> pa.Table:
         body = None
         err_t = err_m = None
         try:
-            with urllib.request.urlopen(url, timeout=timeout) as resp:
-                body = resp.read()
-        except urllib.error.URLError as e:
-            reason = getattr(e, "reason", e)
-            if isinstance(reason, socket.gaierror):
-                err_t, err_m = "unknown_host", str(reason)
-            else:
-                err_t, err_m = "io_error", str(reason)
-        except (socket.timeout, OSError) as e:
-            err_t, err_m = "io_error", str(e)
+            parsed = urllib.parse.urlparse(url)
+        except ValueError as e:
+            parsed = None
+            err_t, err_m = "invalid_url", f"{url}: {e}"
+        if parsed is not None and parsed.scheme not in ("http", "https"):
+            err_t, err_m = "bad_url_scheme", f"{url}: scheme {parsed.scheme!r}"
+        elif parsed is not None and not parsed.netloc:
+            err_t, err_m = "invalid_url", f"{url}: no host"
+        if err_t is None:
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    body = resp.read()
+            except urllib.error.HTTPError as e:
+                # 4xx/5xx after redirects: status + URL, reference-style
+                err_t, err_m = "io_error", f"{url}: HTTP {e.code} {e.reason}"
+            except urllib.error.URLError as e:
+                reason = getattr(e, "reason", e)
+                if isinstance(reason, socket.gaierror):
+                    err_t, err_m = "unknown_host", f"{url}: {reason}"
+                else:
+                    err_t, err_m = "io_error", f"{url}: {reason}"
+            except (socket.timeout, OSError, ValueError) as e:
+                err_t, err_m = "io_error", f"{url}: {e}"
         rows.append(
             {
                 "url": url,
