@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -624,6 +624,103 @@ def generate_corpus(
             claimed_lang="en",
         )
 
+    # --- epub: OCF/OPF ebook package (mimetype-anchored detection like
+    # ODF; spine-ordered XHTML chapters)
+    for _ in range(max(2, n_per_family)):
+        chapters = [
+            [
+                _paragraph(rng, WORD_POOL["en"], rng.randint(2, 3))
+                for _ in range(rng.randint(2, 3))
+            ]
+            for _ in range(rng.randint(1, 3))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_epub(chapters, title=title, creator="Robert Frost")
+        b.add(
+            "epub",
+            payload,
+            content=docgen.expected_epub_content(chapters),
+            content_type="application/epub+zip",
+            media_type="application/epub+zip",
+            charset=None,
+            language="en",
+            extra_metadata={"dc:creator": "Robert Frost", "dc:title": title},
+            claimed_lang="en",
+        )
+
+    # --- xls: legacy Excel binary (CFB + BIFF8 SST; OLE2 container sniff
+    # refined to application/vnd.ms-excel by directory stream names)
+    for _ in range(max(2, n_per_family)):
+        cells = [
+            _sentence(rng, WORD_POOL["en"], rng.randint(6, 10))
+            for _ in range(rng.randint(3, 5))
+        ]
+        payload = docgen.build_xls(cells)
+        b.add(
+            "xls",
+            payload,
+            content=docgen.expected_xls_content(cells),
+            content_type="application/vnd.ms-excel",
+            media_type="application/vnd.ms-excel",
+            charset=None,
+            language="en",
+            claimed_lang="en",
+        )
+
+    # --- ppt: legacy PowerPoint binary (CFB record tree; text atoms mix
+    # cp1252 TextBytesAtom and UTF-16 TextCharsAtom)
+    for _ in range(max(2, n_per_family)):
+        slides = [
+            [
+                _sentence(rng, WORD_POOL["en"], rng.randint(5, 9))
+                for _ in range(rng.randint(2, 3))
+            ]
+            for _ in range(rng.randint(1, 3))
+        ]
+        payload = docgen.build_ppt(slides)
+        b.add(
+            "ppt",
+            payload,
+            content=docgen.expected_ppt_content(slides),
+            content_type="application/vnd.ms-powerpoint",
+            media_type="application/vnd.ms-powerpoint",
+            charset=None,
+            language="en",
+            claimed_lang="en",
+        )
+
+    # --- mp3: ID3v2-tagged audio (empty content, XMPDM metadata) + one
+    # tagless frame-sync-only stream
+    for k in range(max(2, n_per_family)):
+        title = rng.choice(ARTICLE_TOPICS)
+        payload = docgen.build_mp3(
+            title=title, artist="The Woods", album="Snowy Evening", genre="Folk"
+        )
+        b.add(
+            "mp3",
+            payload,
+            content="",
+            content_type="audio/mpeg",
+            media_type="audio/mpeg",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "dc:title": title,
+                "xmpDM:artist": "The Woods",
+                "xmpDM:album": "Snowy Evening",
+                "xmpDM:genre": "Folk",
+            },
+        )
+    b.add(
+        "mp3-bare",
+        docgen.build_mp3_bare(),
+        content="",
+        content_type="audio/mpeg",
+        media_type="audio/mpeg",
+        charset=None,
+        language=None,
+    )
+
     # --- ole2 container with no WordDocument stream → empty content
     bare_ole = docgen.build_doc(["x"])
     # corrupt the directory name so the WordDocument stream isn't found
@@ -657,6 +754,27 @@ def generate_corpus(
             },
             url=f"https://fixtures.test/jpeg/{url_suffix}",
         )
+    # EXIF-bearing JPEG: IFD0 tags surface as tiff:/exif: metadata keys
+    b.add(
+        "jpeg-exif",
+        docgen.build_jpeg_exif(
+            640, 480, make="Acme", model="Shutter 9", orientation=6,
+            datetime="2020:01:02 03:04:05",
+        ),
+        content="",
+        content_type="image/jpeg",
+        media_type="image/jpeg",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": "480 pixels",
+            "Image Width": "640 pixels",
+            "tiff:Make": "Acme",
+            "tiff:Model": "Shutter 9",
+            "tiff:Orientation": "6",
+            "exif:DateTime": "2020:01:02 03:04:05",
+        },
+    )
     b.add(
         "png",
         docgen.build_png(64, 48),

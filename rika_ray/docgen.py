@@ -734,3 +734,238 @@ def normalize_block_text(s: str) -> str:
 def expected_html_content(paragraphs: list[str]) -> str:
     """Normative HTML main-content layout: kept blocks joined by newline."""
     return "\n".join(normalize_block_text(p) for p in paragraphs)
+
+
+# ---------------------------------------------------------------------------
+# EPUB (OCF zip + OPF package + XHTML chapters)
+# ---------------------------------------------------------------------------
+
+_EPUB_CONTAINER = (
+    b'<?xml version="1.0" encoding="UTF-8"?>'
+    b'<container version="1.0" '
+    b'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+    b'<rootfiles><rootfile full-path="OEBPS/content.opf" '
+    b'media-type="application/oebps-package+xml"/></rootfiles></container>'
+)
+
+
+def build_epub(
+    chapters: list[list[str]], title: str = "", creator: str = ""
+) -> bytes:
+    """An EPUB package: STORED ``mimetype`` first (the OCF detection
+    anchor), container.xml → OPF with spine-ordered XHTML chapters; each
+    chapter is a list of paragraph strings."""
+    buf = BytesIO()
+    manifest_items = []
+    spine_refs = []
+    chapter_files: list[tuple[str, bytes]] = []
+    for i, paras in enumerate(chapters):
+        name = f"chap{i + 1}.xhtml"
+        body = "".join(f"<p>{_xml_escape(p)}</p>" for p in paras)
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            f"<head><title>Chapter {i + 1}</title></head>"
+            f"<body>{body}</body></html>"
+        ).encode()
+        chapter_files.append((f"OEBPS/{name}", doc))
+        manifest_items.append(
+            f'<item id="c{i + 1}" href="{name}" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        spine_refs.append(f'<itemref idref="c{i + 1}"/>')
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="2.0" '
+        'unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>{_xml_escape(title)}</dc:title>"
+        f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+        '<dc:identifier id="uid">urn:uuid:0</dc:identifier>'
+        "</metadata>"
+        f"<manifest>{''.join(manifest_items)}</manifest>"
+        f"<spine>{''.join(spine_refs)}</spine></package>"
+    ).encode()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, b"application/epub+zip")
+        for name, data in [
+            ("META-INF/container.xml", _EPUB_CONTAINER),
+            ("OEBPS/content.opf", opf),
+            *chapter_files,
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def expected_epub_content(chapters: list[list[str]]) -> str:
+    """Normative EPUB text layout: spine order, each paragraph
+    newline-terminated."""
+    return "".join(p + "\n" for paras in chapters for p in paras)
+
+
+# ---------------------------------------------------------------------------
+# Legacy binary XLS (CFB + BIFF8 Workbook stream with an SST)
+# ---------------------------------------------------------------------------
+
+
+def _biff_record(rec_type: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", rec_type, len(payload)) + payload
+
+
+def build_xls(cells: list[str]) -> bytes:
+    """A legacy .xls: CFB container holding a BIFF8 ``Workbook`` stream
+    whose SST carries every cell string. Strings alternate compressed
+    (latin-1-safe) and uncompressed (UTF-16LE) bodies based on content."""
+    entries = []
+    for s in cells:
+        try:
+            raw = s.encode("latin-1")
+            flags = 0x00
+        except UnicodeEncodeError:
+            raw = s.encode("utf-16-le")
+            flags = 0x01
+        entries.append(struct.pack("<HB", len(s), flags) + raw)
+    sst_payload = struct.pack("<II", len(cells), len(cells)) + b"".join(entries)
+    if len(sst_payload) > 8000:
+        raise ValueError("synthetic SST must fit one BIFF record")
+    stream = (
+        _biff_record(0x0809, struct.pack("<HHHHI", 0x0600, 0x0005, 0, 0, 0))
+        + _biff_record(0x00FC, sst_payload)
+        + _biff_record(0x000A, b"")  # EOF
+    )
+    return _build_cfb({"Workbook": stream})
+
+
+def expected_xls_content(cells: list[str]) -> str:
+    return "".join(t + "\n" for t in cells)
+
+
+# ---------------------------------------------------------------------------
+# Legacy binary PPT (CFB + PowerPoint Document record tree)
+# ---------------------------------------------------------------------------
+
+
+def _ppt_record(ver_inst: int, rec_type: int, payload: bytes) -> bytes:
+    return struct.pack("<HHI", ver_inst, rec_type, len(payload)) + payload
+
+
+def build_ppt(slides: list[list[str]]) -> bytes:
+    """A legacy .ppt: CFB container with a ``PowerPoint Document`` stream —
+    a Document container (recType 0x03E8) holding one SlideListWithText
+    container (0x0FF0) per slide, whose text atoms alternate
+    TextBytesAtom (cp1252) and TextCharsAtom (UTF-16LE) by content."""
+    slide_containers = []
+    for texts in slides:
+        atoms = b""
+        for t in texts:
+            try:
+                raw = t.encode("cp1252")
+                atoms += _ppt_record(0x0000, 0x0FA8, raw)
+            except UnicodeEncodeError:
+                atoms += _ppt_record(0x0000, 0x0FA0, t.encode("utf-16-le"))
+        slide_containers.append(_ppt_record(0x000F, 0x0FF0, atoms))
+    doc = _ppt_record(0x000F, 0x03E8, b"".join(slide_containers))
+    return _build_cfb({"PowerPoint Document": doc})
+
+
+def expected_ppt_content(slides: list[list[str]]) -> str:
+    return "".join(t + "\n" for texts in slides for t in texts)
+
+
+# ---------------------------------------------------------------------------
+# MP3 with an ID3v2.3 tag
+# ---------------------------------------------------------------------------
+
+
+def _id3_syncsafe(n: int) -> bytes:
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _id3_text_frame(frame_id: str, text: str) -> bytes:
+    try:
+        payload = b"\x00" + text.encode("latin-1")
+    except UnicodeEncodeError:
+        payload = b"\x01" + b"\xff\xfe" + text.encode("utf-16-le")
+    return frame_id.encode("ascii") + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+
+
+def build_mp3(
+    title: str = "", artist: str = "", album: str = "", genre: str = ""
+) -> bytes:
+    """An MP3 head: ID3v2.3 tag with TIT2/TPE1/TALB/TCON text frames,
+    followed by a few MPEG-1 Layer III frame-sync bytes standing in for
+    the audio body."""
+    frames = b"".join(
+        _id3_text_frame(fid, val)
+        for fid, val in (
+            ("TIT2", title), ("TPE1", artist), ("TALB", album), ("TCON", genre),
+        )
+        if val
+    )
+    tag = b"ID3\x03\x00\x00" + _id3_syncsafe(len(frames)) + frames
+    # minimal MPEG-1 Layer III frame header + silence padding
+    body = (b"\xff\xfb\x90\x00" + b"\x00" * 100) * 3
+    return tag + body
+
+
+def build_mp3_bare() -> bytes:
+    """A tagless MP3: frame sync only (detection falls to the 0xFFFB
+    sync); no metadata recoverable."""
+    return (b"\xff\xfb\x90\x00" + b"\x00" * 100) * 3
+
+
+# ---------------------------------------------------------------------------
+# JPEG with an EXIF APP1 segment
+# ---------------------------------------------------------------------------
+
+
+def build_jpeg_exif(
+    width: int,
+    height: int,
+    make: str = "",
+    model: str = "",
+    orientation: int = 1,
+    datetime: str = "",
+) -> bytes:
+    """Minimal JPEG carrying an EXIF APP1 (little-endian TIFF, IFD0 with
+    Make/Model/Orientation/DateTime) ahead of the SOF0 dimensions."""
+    tags = []
+    extra = b""
+    # value area starts after: 8 TIFF header + 2 count + 12*n entries + 4 next-IFD
+    def _ascii_entry(tag_id: int, value: str) -> None:
+        nonlocal extra
+        raw = value.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            tags.append((tag_id, 2, len(raw), raw.ljust(4, b"\x00"), None))
+        else:
+            tags.append((tag_id, 2, len(raw), None, raw))
+
+    if make:
+        _ascii_entry(0x010F, make)
+    if model:
+        _ascii_entry(0x0110, model)
+    tags.append((0x0112, 3, 1, struct.pack("<H", orientation) + b"\x00\x00", None))
+    if datetime:
+        _ascii_entry(0x0132, datetime)
+    tags.sort(key=lambda t: t[0])
+    n = len(tags)
+    value_off = 8 + 2 + 12 * n + 4
+    entries = b""
+    for tag_id, ftype, count, inline, deferred in tags:
+        if deferred is None:
+            entries += struct.pack("<HHI", tag_id, ftype, count) + inline
+        else:
+            entries += struct.pack("<HHII", tag_id, ftype, count, value_off + len(extra))
+            extra += deferred
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", n) + entries + struct.pack("<I", 0) + extra
+    )
+    exif_payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) + exif_payload
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"

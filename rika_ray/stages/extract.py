@@ -25,14 +25,19 @@ import pyarrow as pa
 from rika_ray.schema import METADATA_TYPE, SPANS_TYPE
 from rika_ray.stages import charset as charset_mod
 from rika_ray.stages import sniff as sniff_mod
+from rika_ray.stages.audio_meta import extract_mp3
+from rika_ray.stages.epub import extract_epub
 from rika_ray.stages.html_extract import extract_html
 from rika_ray.stages.image_meta import extract_image
 from rika_ray.stages.office import (
+    CfbFile,
     OfficeParseError,
     extract_doc,
     extract_docx,
     extract_odt,
+    extract_ppt,
     extract_pptx,
+    extract_xls,
     extract_xlsx,
 )
 from rika_ray.stages.pdf_extract import extract_pdf
@@ -72,6 +77,8 @@ class ExtractStage:
             sniff_mod.PPTX: self._do_pptx,
             sniff_mod.OLE2: self._do_ole2,
             sniff_mod.RTF: self._do_rtf,
+            sniff_mod.EPUB: self._do_epub,
+            sniff_mod.MP3: self._do_mp3,
             # text:p extraction applies to every ODF package kind (ODS
             # cells and ODP frames hold text:p too)
             **{
@@ -117,15 +124,36 @@ class ExtractStage:
         content, spans, meta = extract_odt(data)
         return content, media, None, spans, meta
 
+    def _do_epub(self, data: bytes, media: str):
+        content, spans, meta = extract_epub(data)
+        return content, media, None, spans, meta
+
+    def _do_mp3(self, data: bytes, media: str):
+        content, spans, meta = extract_mp3(data)
+        return content, media, None, spans, meta
+
     def _do_ole2(self, data: bytes, media: str):
-        # container sniff says OLE2; refine to application/msword when a
-        # WordDocument stream parses (Tika-style container inspection),
-        # else fall back to empty content with the container type
+        # container sniff says OLE2; refine by directory stream names
+        # (Tika-style container inspection): WordDocument → msword,
+        # Workbook/Book → ms-excel, PowerPoint Document → ms-powerpoint;
+        # anything else falls back to empty content with the container type
         try:
-            content, spans, meta = extract_doc(data)
-            return content, MSWORD, None, spans, meta
+            streams = CfbFile(data).streams()
         except OfficeParseError:
             return "", media, None, [], {}
+        try:
+            if "WordDocument" in streams:
+                content, spans, meta = extract_doc(data, streams)
+                return content, MSWORD, None, spans, meta
+            if "Workbook" in streams or "Book" in streams:
+                content, spans, meta = extract_xls(data, streams)
+                return content, sniff_mod.XLS, None, spans, meta
+            if "PowerPoint Document" in streams:
+                content, spans, meta = extract_ppt(data, streams)
+                return content, sniff_mod.PPT, None, spans, meta
+        except OfficeParseError:
+            pass
+        return "", media, None, [], {}
 
     def _do_image(self, data: bytes, media: str):
         content, spans, meta = extract_image(data, media)

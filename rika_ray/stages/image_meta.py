@@ -65,14 +65,90 @@ def gif_dimensions(data: bytes) -> tuple[int, int]:
     return width, height
 
 
+# EXIF/TIFF tags surfaced as metadata (Tika-style tiff:/exif: keys; the
+# reference gets these via Tika's drewnoakes-backed JpegParser behind the
+# same one-parse surface, /root/reference/lib/rika/parser.rb:21-29)
+_EXIF_TAGS = {
+    0x010F: ("tiff:Make", "ascii"),
+    0x0110: ("tiff:Model", "ascii"),
+    0x0112: ("tiff:Orientation", "short"),
+    0x0132: ("exif:DateTime", "ascii"),
+}
+
+
+def jpeg_exif(data: bytes) -> dict[str, str]:
+    """IFD0 tags from a JPEG APP1 Exif segment; {} when absent. Bounded:
+    reads only the APP1 payload, walks one IFD, tolerates a malformed
+    segment by returning what parsed so far."""
+    out: dict[str, str] = {}
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 past here
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10 : pos + 2 + seg_len]
+            try:
+                out.update(_parse_tiff_ifd0(tiff))
+            except (struct.error, IndexError):
+                pass
+            break
+        pos += 2 + seg_len
+    return out
+
+
+def _parse_tiff_ifd0(tiff: bytes) -> dict[str, str]:
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        return {}
+    if struct.unpack(f"{bo}H", tiff[2:4])[0] != 42:
+        return {}
+    (ifd_off,) = struct.unpack(f"{bo}I", tiff[4:8])
+    (count,) = struct.unpack(f"{bo}H", tiff[ifd_off : ifd_off + 2])
+    out: dict[str, str] = {}
+    for i in range(count):
+        entry = tiff[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+        if len(entry) < 12:
+            break
+        tag, ftype, n_vals = struct.unpack(f"{bo}HHI", entry[:8])
+        spec = _EXIF_TAGS.get(tag)
+        if spec is None:
+            continue
+        key, kind = spec
+        if kind == "ascii" and ftype == 2:
+            if n_vals <= 4:
+                raw = entry[8 : 8 + n_vals]
+            else:
+                (off,) = struct.unpack(f"{bo}I", entry[8:12])
+                raw = tiff[off : off + n_vals]
+            out[key] = raw.split(b"\x00", 1)[0].decode(
+                "ascii", errors="replace"
+            )
+        elif kind == "short" and ftype == 3:
+            out[key] = str(struct.unpack(f"{bo}H", entry[8:10])[0])
+    return out
+
+
 def extract_image(data: bytes, media_type: str) -> tuple[str, list, dict[str, str]]:
-    """(content="", spans=[], metadata with Image Width/Height)."""
+    """(content="", spans=[], metadata with Image Width/Height and, for
+    JPEG, any EXIF IFD0 tags)."""
+    meta: dict[str, str] = {}
     if media_type == "image/jpeg":
         w, h = jpeg_dimensions(data)
+        meta.update(jpeg_exif(data))
     elif media_type == "image/png":
         w, h = png_dimensions(data)
     elif media_type == "image/gif":
         w, h = gif_dimensions(data)
     else:
         raise ImageParseError(f"unsupported image type {media_type}")
-    return "", [], {"Image Height": f"{h} pixels", "Image Width": f"{w} pixels"}
+    meta["Image Height"] = f"{h} pixels"
+    meta["Image Width"] = f"{w} pixels"
+    return "", [], meta

@@ -221,15 +221,20 @@ def _doc_text_from_piece_table(
     return "".join(parts)
 
 
-def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
+def extract_doc(
+    data: bytes, streams: dict[str, bytes] | None = None
+) -> tuple[str, list[dict], dict[str, str]]:
     """(content, spans, metadata) from legacy Word binary bytes.
 
     Raises OfficeParseError when the container has no WordDocument stream
     (caller falls back to opaque OLE2 handling) or when neither the piece
     table nor the simple linear layout parses. Piece-table (complex /
     incremental-save) documents — the predominant real-world layout — are
-    read via fcClx/lcbClx (FIB 0x1A2/0x1A6) into the Table stream."""
-    streams = CfbFile(data).streams()
+    read via fcClx/lcbClx (FIB 0x1A2/0x1A6) into the Table stream.
+    ``streams`` lets the extraction router reuse an already-parsed CFB
+    directory (one container read per doc)."""
+    if streams is None:
+        streams = CfbFile(data).streams()
     if "WordDocument" not in streams:
         raise OfficeParseError("no WordDocument stream")
     wd = streams["WordDocument"]
@@ -269,6 +274,167 @@ def extract_doc(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     ]
     content = "".join(p + "\n" for p in paragraphs)
     return content, spans, {}
+
+
+# ---------------------------------------------------------------------------
+# Legacy binary Excel (BIFF8) and PowerPoint — same CFB container as DOC.
+# The reference gets these through Tika's POI HSSF/HSLF parsers behind the
+# one Rika.parse surface (/root/reference/lib/rika/parser.rb:21-29); here
+# they are read from the public MS-XLS / MS-PPT record layouts.
+# ---------------------------------------------------------------------------
+
+_BIFF_SST = 0x00FC
+_BIFF_CONTINUE = 0x003C
+
+
+def _biff_records(stream: bytes):
+    """Yield (record_type, payload) over a BIFF stream; truncated trailing
+    bytes are ignored (real writers pad the final sector)."""
+    import struct
+
+    pos = 0
+    n = len(stream)
+    while pos + 4 <= n:
+        rec_type, rec_len = struct.unpack_from("<HH", stream, pos)
+        if rec_type == 0:
+            break  # sector padding after EOF
+        payload = stream[pos + 4 : pos + 4 + rec_len]
+        if len(payload) != rec_len:
+            break
+        yield rec_type, payload
+        pos += 4 + rec_len
+
+
+def _sst_strings(payload: bytes, continues: list[bytes]) -> list[str]:
+    """XLUnicodeRichExtendedString entries from an SST record.
+
+    Handles the compressed (latin-1) vs uncompressed (UTF-16LE) flag per
+    string and rich/ext tails. A string that spans into a Continue record
+    resumes after that record's fresh option-flags byte (MS-XLS 2.5.293);
+    scope is strings that do not SPLIT mid-character — enough for the
+    synthetic corpus and typical small sheets, and a violation raises
+    rather than silently mis-reading."""
+    import struct
+
+    (cst_unique,) = struct.unpack_from("<I", payload, 4)
+    out: list[str] = []
+    buf = payload
+    pos = 8
+    pending = list(continues)
+    for _ in range(cst_unique):
+        if pos >= len(buf):
+            if not pending:
+                raise OfficeParseError("SST truncated")
+            buf, pos = pending.pop(0), 0
+        if pos + 3 > len(buf):
+            raise OfficeParseError("SST string header truncated")
+        (cch,) = struct.unpack_from("<H", buf, pos)
+        flags = buf[pos + 2]
+        pos += 3
+        if flags & 0x08:  # fRichSt: u16 run count
+            (c_run,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+        else:
+            c_run = 0
+        if flags & 0x04:  # fExtSt: u32 ExtRst size
+            (cb_ext,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+        else:
+            cb_ext = 0
+        nbytes = cch * 2 if flags & 0x01 else cch
+        if pos + nbytes > len(buf):
+            raise OfficeParseError("SST string spans a Continue mid-body")
+        raw = buf[pos : pos + nbytes]
+        out.append(
+            raw.decode("utf-16-le" if flags & 0x01 else "latin-1",
+                       errors="replace")
+        )
+        pos += nbytes + 4 * c_run + cb_ext
+    return out
+
+
+def extract_xls(
+    data: bytes, streams: dict[str, bytes] | None = None
+) -> tuple[str, list[dict], dict[str, str]]:
+    """(content, spans, metadata) from legacy Excel binary bytes: the
+    ``Workbook`` (or ``Book``) stream's SST shared strings in document
+    order, one per line — the same extraction spec as ``extract_xlsx``.
+    Raises OfficeParseError when no workbook stream exists (caller falls
+    back to opaque OLE2 handling). ``streams`` lets the extraction router
+    reuse an already-parsed CFB directory (one container read per doc)."""
+    if streams is None:
+        streams = CfbFile(data).streams()
+    wb = streams.get("Workbook", streams.get("Book"))
+    if wb is None:
+        raise OfficeParseError("no Workbook stream")
+    cells: list[str] = []
+    records = _biff_records(wb)
+    for rec_type, payload in records:
+        if rec_type != _BIFF_SST:
+            continue
+        continues: list[bytes] = []
+        for nxt_type, nxt_payload in records:
+            if nxt_type != _BIFF_CONTINUE:
+                break
+            continues.append(nxt_payload)
+        cells.extend(_sst_strings(payload, continues))
+        break
+    spans = [
+        {"page": 0, "order": i, "kind": "cell", "text": t}
+        for i, t in enumerate(cells)
+    ]
+    return "".join(t + "\n" for t in cells), spans, {}
+
+
+_PPT_TEXT_CHARS_ATOM = 0x0FA0  # UTF-16LE
+_PPT_TEXT_BYTES_ATOM = 0x0FA8  # single-byte cp1252
+
+
+def _ppt_walk_text(stream: bytes, out: list[str], depth: int = 0) -> None:
+    """Recursive MS-PPT record walk: 8-byte headers (verAndInstance,
+    recType, recLen); recVer == 0xF marks a container whose payload is
+    itself a record sequence. Collects text atoms in stream order."""
+    import struct
+
+    if depth > 32:
+        raise OfficeParseError("PPT record nesting too deep")
+    pos = 0
+    n = len(stream)
+    while pos + 8 <= n:
+        ver_inst, rec_type, rec_len = struct.unpack_from("<HHI", stream, pos)
+        payload = stream[pos + 8 : pos + 8 + rec_len]
+        if len(payload) != rec_len:
+            break  # sector padding / truncation ends the walk
+        if ver_inst & 0x000F == 0x000F:  # container
+            _ppt_walk_text(payload, out, depth + 1)
+        elif rec_type == _PPT_TEXT_CHARS_ATOM:
+            out.append(payload.decode("utf-16-le", errors="replace"))
+        elif rec_type == _PPT_TEXT_BYTES_ATOM:
+            out.append(payload.decode("cp1252", errors="replace"))
+        pos += 8 + rec_len
+
+
+def extract_ppt(
+    data: bytes, streams: dict[str, bytes] | None = None
+) -> tuple[str, list[dict], dict[str, str]]:
+    """(content, spans, metadata) from legacy PowerPoint binary bytes:
+    TextCharsAtom / TextBytesAtom payloads in record order from the
+    ``PowerPoint Document`` stream, one per line — the same extraction
+    spec as ``extract_pptx``. Raises OfficeParseError when the stream is
+    absent (caller falls back to opaque OLE2 handling). ``streams`` as in
+    ``extract_xls``."""
+    if streams is None:
+        streams = CfbFile(data).streams()
+    doc = streams.get("PowerPoint Document")
+    if doc is None:
+        raise OfficeParseError("no PowerPoint Document stream")
+    texts: list[str] = []
+    _ppt_walk_text(doc, texts)
+    spans = [
+        {"page": 0, "order": i, "kind": "run", "text": t}
+        for i, t in enumerate(texts)
+    ]
+    return "".join(t + "\n" for t in texts), spans, {}
 
 
 _ODF_TEXT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"

@@ -32,6 +32,10 @@ PPTX = "application/vnd.openxmlformats-officedocument.presentationml.presentatio
 OLE2 = "application/x-ole-storage"
 RTF = "application/rtf"
 ODT = "application/vnd.oasis.opendocument.text"
+EPUB = "application/epub+zip"
+MP3 = "audio/mpeg"
+XLS = "application/vnd.ms-excel"
+PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
 XML = "application/xml"
 PLAIN = "text/plain"
@@ -71,9 +75,9 @@ def _zip_member_names(zone: bytes) -> list[bytes]:
 
 
 def _odf_mimetype(prefix: bytes) -> str | None:
-    """ODF media type from the package's ``mimetype`` member. The ODF spec
-    mandates it as the FIRST member, STORED (uncompressed), so its content
-    sits at a computable offset after the first local file header —
+    """Package media type from the ``mimetype`` member (ODF and EPUB/OCF
+    both mandate it as the FIRST member, STORED uncompressed), so its
+    content sits at a computable offset after the first local file header —
     anchored to that header's name/extra fields, never a raw substring
     scan of the window."""
     if not prefix.startswith(b"PK\x03\x04") or len(prefix) < 34:
@@ -84,6 +88,8 @@ def _odf_mimetype(prefix: bytes) -> str | None:
         return None
     start = 30 + nlen + xlen
     body = prefix[start : start + 128]
+    if body.startswith(b"application/epub+zip"):
+        return EPUB
     if body.startswith(b"application/vnd.oasis.opendocument."):
         end = 35
         while end < len(body) and (
@@ -129,6 +135,19 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return ZIP
     if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         return OLE2
+    # MP3: ID3v2 tag (validated header: major version 2-4, syncsafe size
+    # bytes < 0x80 — a text file that merely starts with "ID3" stays
+    # text/plain), or a bare MPEG-1 Layer III frame sync (0xFFFB/0xFFFA)
+    if (
+        prefix.startswith(b"ID3")
+        and len(prefix) >= 10
+        and prefix[3] in (2, 3, 4)
+        and prefix[4] != 0xFF
+        and all(b < 0x80 for b in prefix[6:10])
+    ):
+        return MP3
+    if prefix.startswith((b"\xff\xfb", b"\xff\xfa")):
+        return MP3
     # UTF-16 BOMs: NUL-heavy bytes would otherwise hit the binary
     # heuristic — decode the prefix and scan that for HTML markers
     if prefix.startswith((b"\xff\xfe", b"\xfe\xff")):

@@ -33,7 +33,8 @@ def test_rows_aligned_and_families_present(corpus_tables):
     families = {u.split("/")[3] for u in urls}
     for fam in ("plain-en", "plain-ru", "plain-latin1", "html",
                 "html-nomain", "pdf", "docx", "jpeg", "png", "unknown",
-                "empty", "tiny", "mega", "corrupt-pdf"):
+                "empty", "tiny", "mega", "corrupt-pdf",
+                "epub", "xls", "ppt", "mp3", "mp3-bare", "jpeg-exif"):
         assert fam in families, fam
 
 

@@ -1,0 +1,194 @@
+"""Unit goldens for the round-3 format-breadth extractors: EPUB, legacy
+XLS/PPT, MP3/ID3, JPEG EXIF — the Tika formats a crawl corpus hits after
+RTF/ODT (reference surface: every DefaultDetector format flows through one
+``Rika.parse``, ``/root/reference/lib/rika/parser.rb:21-29``)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from rika_ray import docgen
+from rika_ray.stages import sniff
+from rika_ray.stages.audio_meta import AudioParseError, extract_mp3
+from rika_ray.stages.epub import EpubParseError, extract_epub
+from rika_ray.stages.image_meta import extract_image, jpeg_exif
+from rika_ray.stages.office import OfficeParseError, extract_ppt, extract_xls
+
+
+# ---------------------------------------------------------------- EPUB ----
+
+def test_epub_spine_order_and_metadata():
+    chapters = [["One A.", "One B."], ["Two A."], ["Three A.", "Three B."]]
+    data = docgen.build_epub(chapters, title="T", creator="C")
+    assert sniff.sniff_bytes(data[:2048], data[-4096:]) == sniff.EPUB
+    content, spans, meta = extract_epub(data)
+    assert content == "One A.\nOne B.\nTwo A.\nThree A.\nThree B.\n"
+    assert meta == {"dc:title": "T", "dc:creator": "C"}
+    assert [s["page"] for s in spans] == [0, 0, 1, 2, 2]
+
+
+def test_epub_damaged_chapter_skips_but_book_extracts():
+    import io
+    import zipfile
+
+    good = docgen.build_epub([["Good."], ["Bad."]], title="T")
+    src = zipfile.ZipFile(io.BytesIO(good))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for info in src.infolist():
+            data = src.read(info.filename)
+            if info.filename == "OEBPS/chap2.xhtml":
+                data = data.replace(b"</p>", b"</q>")  # unparseable XML
+            zi = zipfile.ZipInfo(info.filename)
+            zi.compress_type = info.compress_type
+            zf.writestr(zi, data)
+    content, _, _ = extract_epub(buf.getvalue())
+    assert content == "Good.\n"
+
+
+def test_epub_missing_container_raises():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, b"application/epub+zip")
+    with pytest.raises(EpubParseError):
+        extract_epub(buf.getvalue())
+
+
+# ----------------------------------------------------------------- XLS ----
+
+def test_xls_mixed_encodings_roundtrip():
+    cells = ["ascii only", "naïve café — cp1252? no: latin-1", "日本語"]
+    content, spans, _ = extract_xls(docgen.build_xls(cells))
+    assert content == docgen.expected_xls_content(cells)
+    assert [s["kind"] for s in spans] == ["cell"] * 3
+
+
+def test_xls_rich_string_tail_skipped():
+    """A rich (fRichSt) SST string carries a run table after the chars;
+    the parser must skip it and keep reading subsequent strings."""
+    s1, s2 = "styled", "after"
+    e1 = (
+        struct.pack("<HBH", len(s1), 0x08, 2)  # flags: rich, 2 runs
+        + s1.encode("latin-1")
+        + b"\x00" * 8  # 2 runs × 4 bytes
+    )
+    e2 = struct.pack("<HB", len(s2), 0x00) + s2.encode("latin-1")
+    sst = struct.pack("<II", 2, 2) + e1 + e2
+    stream = (
+        struct.pack("<HH", 0x0809, 16) + b"\x00" * 16
+        + struct.pack("<HH", 0x00FC, len(sst)) + sst
+        + struct.pack("<HH", 0x000A, 0)
+    )
+    from rika_ray.docgen import _build_cfb
+
+    content, _, _ = extract_xls(_build_cfb({"Workbook": stream}))
+    assert content == "styled\nafter\n"
+
+
+def test_xls_without_workbook_stream_raises():
+    with pytest.raises(OfficeParseError):
+        extract_xls(docgen.build_doc(["x"]))
+
+
+# ----------------------------------------------------------------- PPT ----
+
+def test_ppt_nested_containers_and_mixed_atoms():
+    slides = [["plain ascii", "unicode — 箇条"], ["second slide"]]
+    content, spans, _ = extract_ppt(docgen.build_ppt(slides))
+    assert content == docgen.expected_ppt_content(slides)
+    assert len(spans) == 3
+
+
+def test_ppt_truncated_container_raises_for_error_row():
+    """Chopping the CFB tail breaks the stream's sector chain — the
+    extractor raises OfficeParseError, which the extraction router maps to
+    a parse_error row (§2.8 error-as-data), never a crash."""
+    data = docgen.build_ppt([["some text here"]])
+    with pytest.raises(OfficeParseError):
+        extract_ppt(data[: len(data) - 256])
+
+
+# ----------------------------------------------------------------- MP3 ----
+
+def test_mp3_id3v23_tag_and_sniff():
+    data = docgen.build_mp3(title="T", artist="A", album="L", genre="G")
+    assert sniff.sniff_bytes(data[:2048]) == sniff.MP3
+    content, spans, meta = extract_mp3(data)
+    assert content == "" and spans == []
+    assert meta == {
+        "dc:title": "T", "xmpDM:artist": "A",
+        "xmpDM:album": "L", "xmpDM:genre": "G",
+    }
+
+
+def test_mp3_id3v24_syncsafe_frame_sizes():
+    """v2.4 frames use syncsafe sizes — build one by hand."""
+    payload = b"\x03" + "Tïtle".encode("utf-8")
+    frame = b"TIT2" + bytes(
+        ((len(payload) >> s) & 0x7F) for s in (21, 14, 7, 0)
+    ) + b"\x00\x00" + payload
+    tag = b"ID3\x04\x00\x00" + bytes(
+        ((len(frame) >> s) & 0x7F) for s in (21, 14, 7, 0)
+    ) + frame
+    _, _, meta = extract_mp3(tag + b"\xff\xfb\x90\x00")
+    assert meta == {"dc:title": "Tïtle"}
+
+
+def test_mp3_bare_sync_no_metadata():
+    data = docgen.build_mp3_bare()
+    assert sniff.sniff_bytes(data[:2048]) == sniff.MP3
+    assert extract_mp3(data) == ("", [], {})
+
+
+def test_mp3_overrunning_frame_raises():
+    bad = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + b"TIT2" + struct.pack(
+        ">I", 9999
+    ) + b"\x00\x00" + b"\x00x"
+    with pytest.raises(AudioParseError):
+        extract_mp3(bad)
+
+
+def test_text_starting_with_id3_stays_plain():
+    assert (
+        sniff.sniff_bytes(b"ID3 tags are a metadata container format.")
+        == sniff.PLAIN
+    )
+
+
+# ---------------------------------------------------------------- EXIF ----
+
+def test_jpeg_exif_little_endian_roundtrip():
+    data = docgen.build_jpeg_exif(
+        320, 240, make="Acme", model="Shutter 9", orientation=8,
+        datetime="2021:12:31 23:59:59",
+    )
+    _, _, meta = extract_image(data, "image/jpeg")
+    assert meta["tiff:Make"] == "Acme"
+    assert meta["tiff:Model"] == "Shutter 9"
+    assert meta["tiff:Orientation"] == "8"
+    assert meta["exif:DateTime"] == "2021:12:31 23:59:59"
+    assert meta["Image Width"] == "320 pixels"
+
+
+def test_jpeg_exif_big_endian_tiff():
+    """Hand-built MM (big-endian) TIFF with one inline SHORT tag."""
+    entries = struct.pack(">HHIHH", 0x0112, 3, 1, 3, 0)
+    tiff = b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", 1) + entries
+    tiff += struct.pack(">I", 0)
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 10, 20, 1) + b"\x01\x11\x00"
+    data = b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+    assert jpeg_exif(data) == {"tiff:Orientation": "3"}
+
+
+def test_jpeg_without_exif_unchanged():
+    _, _, meta = extract_image(docgen.build_jpeg(72, 72), "image/jpeg")
+    assert meta == {"Image Height": "72 pixels", "Image Width": "72 pixels"}

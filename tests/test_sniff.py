@@ -50,9 +50,14 @@ def test_detect_batch_kernel(corpus_tables):
         url = r["url"]
         if r["error_type"] == "empty_file":
             assert got[url] == (None, "empty_file"), url
-        elif r["media_type"] == "application/msword":
+        elif r["media_type"] in (
+            "application/msword",
+            "application/vnd.ms-excel",
+            "application/vnd.ms-powerpoint",
+        ):
             # sniff sees the OLE2 container; the extract stage refines it
-            # to msword after finding the WordDocument stream
+            # by directory stream names (WordDocument / Workbook /
+            # PowerPoint Document)
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
         elif r["media_type"] is not None:
             assert got[url][0] == r["media_type"], (url, got[url])
