@@ -187,11 +187,31 @@ def _bounded_training_sample(
     ``max_sample_rows`` (parquet row counts come from metadata, so
     ``count()`` is not a data scan), and a ``limit`` hard-bounds the
     actual rows regardless of sampling variance. At 10^12 vectors the
-    driver never sees more than ``max_sample_rows`` rows."""
+    driver never sees more than ``max_sample_rows`` rows.
+
+    Membership is a DETERMINISTIC hash gate on ``vec_id`` (splitmix64
+    threshold), not ``random_sample``: Ray's per-task sampling RNG varies
+    with dynamic block splitting, which made the trained centroids — and
+    therefore IVF's approximate results — differ run to run under load."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rika_ray.pipelines.dedup import _mix64
+
     n = emb.count()
     frac = min(sample_fraction, max_sample_rows / max(n, 1))
+    threshold = np.uint64(int(frac * float(2**64 - 1)))
+    seed_u = np.uint64(seed)
+
+    def _hash_gate(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _mix64(ids ^ seed_u) <= threshold
+        return batch.filter(pa.array(keep))
+
     rows = (
-        emb.random_sample(frac, seed=seed).limit(max_sample_rows).take_all()
+        emb.map_batches(_hash_gate, batch_format="pyarrow")
+        .limit(max_sample_rows)
+        .take_all()
     )
     if not rows:
         rows = emb.limit(max_sample_rows).take_all()
