@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_tally": relational.orders_priority_tally,
         "orders_per_segment": relational.orders_per_segment,
         "customers_per_region": relational.customers_per_region,
+        "supplier_revenue_by_nation": relational.supplier_revenue_by_nation,
+        "top_parts_by_quantity": relational.top_parts_by_quantity,
         "events_hourly": relational.events_hourly,
         "user_sessions": relational.user_sessions,
         "purchase_last_click": relational.purchase_last_click,
@@ -194,6 +196,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name ORDER BY r_name"
+        ),
+        "supplier_revenue_by_nation": (
+            "SELECT n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "top_parts_by_quantity": (
+            "SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem "
+            "GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 10"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

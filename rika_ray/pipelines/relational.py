@@ -225,6 +225,81 @@ def orders_per_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def supplier_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⨝ supplier ⨝ nation → revenue per nation name.
+
+    Scale shape: the two small sides (supplier keys → nation name) are
+    composed driver-side into ONE broadcast dict shipped via ``ray.put``;
+    each lineitem batch then does lookup + in-batch partial sum, so the
+    shuffle moves ~25 (nation, partial) rows per batch, never lineitem
+    rows. Partitioning assumption: the supplier→nation map fits worker
+    memory (supplier is ~1/600 of lineitem rows and 2 ints wide; beyond
+    that, swap the broadcast for a key-bucketed shuffle join). Doubles are
+    rounded to 2dp in both engines (same rationale as pricing_summary)."""
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp_to_nation = {
+        int(k): nation_names[v]
+        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    lookup_ref = ray.put(supp_to_nation)
+
+    class NationRevenue:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            revenue = batch["l_extendedprice"].to_numpy() * (
+                1.0 - batch["l_discount"].to_numpy()
+            )
+            nname = batch["l_suppkey"].map(self.lookup)
+            g = pd.DataFrame({"n_name": nname, "revenue": revenue}).groupby(
+                "n_name", as_index=False, sort=False
+            )["revenue"].sum()
+            return g
+
+    ds = (
+        _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(NationRevenue, batch_format="pandas", batch_size=65536,
+                     concurrency=pool_spec(), num_cpus=0.5)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "revenue": pc.round(batch["revenue"], 2),
+            }
+        )
+
+    return ds.map_batches(_round, batch_format="pyarrow").sort("n_name")
+
+
+def top_parts_by_quantity(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k parts by total shipped quantity: a HIGH-cardinality groupby
+    (one group per partkey) with in-batch partial sums, then the top-k
+    taken with a deterministic (qty DESC, partkey ASC) tie-break — the
+    heavy-groupby + topk pattern (A3/O3 over a wide key space)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey"]).aggregate([("l_quantity", "sum")])
+        return pa.table(
+            {"l_partkey": g["l_partkey"], "qty": g["l_quantity_sum"]}
+        )
+
+    return (
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .sort([("qty"), ("l_partkey")], descending=[True, False])
+        .limit(k)
+    )
+
+
 def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """customer ⨝ nation ⨝ region via a composed broadcast lookup."""
     nation = _rp(sf_dir, "nation").to_pandas()
