@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_last_click": relational.purchase_last_click,
         "dedup_exact": relational.dedup_exact,
         "distinct_langs": relational.distinct_langs,
+        "domain_cap_sample": relational.domain_cap_sample,
         # --- text analysis ---
         "doc_token_counts": text_analysis.doc_token_counts,
         "doc_fingerprints_md5": text_analysis.doc_fingerprints_md5,
@@ -196,6 +197,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name ORDER BY r_name"
+        ),
+        "domain_cap_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 20 ORDER BY doc_id"
         ),
         "supplier_revenue_by_nation": (
             "SELECT n_name, "

@@ -167,8 +167,11 @@ def _scaling_corpus() -> str:
 
 def run_headline(extract_only: bool = False) -> dict:
     _init_ray(NCPU)
+    # scaling sub-runs get the corpus PINNED by the parent (env var), so a
+    # CORPUS_VERSION bump between sub-runs can never split the two levels
+    # across different inputs
     in_path = (
-        _scaling_corpus()
+        os.environ.get("RIKA_SCALE_CORPUS") or _scaling_corpus()
         if extract_only
         else f"{_bench_corpus()}/web_pages.parquet"
     )
@@ -216,7 +219,7 @@ def run_scaling() -> dict:
     """Same extraction job, same input, fresh processes at the two CPU
     levels. Uses the replicated multi-file corpus so compute dominates
     fixed pipeline startup at both parallelism levels."""
-    _scaling_corpus()  # generate once so both runs see identical input
+    corpus_path = _scaling_corpus()  # generate once; pinned for all sub-runs
     probes: list[float] = []
 
     def _sub(ncpu: int) -> dict:
@@ -230,7 +233,11 @@ def run_scaling() -> dict:
                 break
             time.sleep(90)
         probes.append(round(d, 3))
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RIKA_SCALE_CORPUS=corpus_path,
+        )
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only"],
             env=env,

@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -719,6 +719,61 @@ def generate_corpus(
         media_type="audio/mpeg",
         charset=None,
         language=None,
+    )
+
+    # --- gzip members: transparent unwrap (crawl corpora carry .gz
+    # payloads); media_type refines to the INNER type, the container is
+    # recorded as rika:container metadata
+    import gzip as _gzip
+
+    for k in range(max(2, n_per_family)):
+        gen = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 6)) + "\n"
+        b.add(
+            "gzip-text",
+            _gzip.compress(gen.encode("utf-8"), mtime=0),
+            content=gen,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "rika:container": "application/gzip",
+            },
+            claimed_lang="en",
+        )
+    for _ in range(max(2, n_per_family)):
+        title = rng.choice(ARTICLE_TOPICS)
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5))
+            for _ in range(rng.randint(3, 5))
+        ]
+        payload = docgen.build_html_page(title, paras, rng.sample(NAV_LINKS, 8))
+        b.add(
+            "gzip-html",
+            _gzip.compress(payload, mtime=0),
+            content=docgen.expected_html_content(paras),
+            content_type="text/html; charset=UTF-8",
+            media_type="text/html",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "dc:title": title,
+                "rika:container": "application/gzip",
+            },
+            claimed_lang="en",
+        )
+    # corrupt gzip member → parse_error row, run continues
+    b.add(
+        "corrupt-gzip",
+        b"\x1f\x8b\x08\x00" + bytes(rng.getrandbits(8) for _ in range(64)),
+        content=None,
+        content_type=None,
+        media_type="application/gzip",
+        charset=None,
+        language=None,
+        error_type="parse_error",
     )
 
     # --- ole2 container with no WordDocument stream → empty content

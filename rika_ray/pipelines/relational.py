@@ -518,3 +518,36 @@ def sample_fraction(sf_dir: str, fraction: float = 0.1, seed: int = 7):
     return _rp(sf_dir, "documents", ["doc_id"]).random_sample(
         fraction, seed=seed
     )
+
+
+def domain_cap_sample(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Per-domain document cap: keep at most ``k`` documents per source
+    (deterministically the lowest ``doc_id``s) — the per-domain quota
+    step of CCNet/Gopher-style pretraining corpus curation.
+
+    Scale shape: same batched sort-within-partition windowing as
+    user_sessions — ONE hash-shuffle on a bounded partition key
+    (hash(source) % P), then per partition a single vectorized pass that
+    ranks EVERY domain at once (sort + groupby.cumcount, C kernels; no
+    per-domain Python). A domain hotter than ``k`` costs only its
+    partition's sort, never an unbounded group."""
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch["source"].to_numpy(zero_copy_only=False), categorize=False
+        )
+        part = (h % np.uint64(_session_parts())).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def _cap_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        rank = g.groupby("source", sort=False).cumcount()
+        return g.loc[rank < k, ["doc_id", "source"]]
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_cap_part, batch_format="pandas")
+        .sort("doc_id")
+    )

@@ -79,6 +79,7 @@ class ExtractStage:
             sniff_mod.RTF: self._do_rtf,
             sniff_mod.EPUB: self._do_epub,
             sniff_mod.MP3: self._do_mp3,
+            sniff_mod.GZIP: self._do_gzip,
             # text:p extraction applies to every ODF package kind (ODS
             # cells and ODP frames hold text:p too)
             **{
@@ -131,6 +132,39 @@ class ExtractStage:
     def _do_mp3(self, data: bytes, media: str):
         content, spans, meta = extract_mp3(data)
         return content, media, None, spans, meta
+
+    # Bomb guard: a member may not expand past this (per-doc, not per-job;
+    # tune with worker heap — a batch holds batch_size expansions at most)
+    _GZIP_MAX_EXPANDED = 256 * 1024 * 1024
+    _GZIP_MAX_DEPTH = 3
+
+    def _do_gzip(self, data: bytes, media: str, _depth: int = 0):
+        # transparent member unwrap (Tika CompressorParser semantics behind
+        # the one-parse surface, /root/reference/lib/rika/parser.rb:21-29):
+        # decompress bounded, re-sniff the inner bytes, dispatch to the
+        # inner kernel; media_type refines to the INNER type and the
+        # container is recorded as metadata
+        import zlib
+
+        if _depth >= self._GZIP_MAX_DEPTH:
+            return "", media, None, [], {}
+        d = zlib.decompressobj(wbits=31)
+        inner = d.decompress(data, self._GZIP_MAX_EXPANDED)
+        if d.unconsumed_tail:
+            raise ValueError(
+                f"gzip member expands past {self._GZIP_MAX_EXPANDED} bytes"
+            )
+        inner_media = sniff_mod.sniff_bytes(inner[:2048], inner[-4096:])
+        if inner_media == sniff_mod.GZIP:
+            content, ctype, cs, spans, meta = self._do_gzip(
+                inner, inner_media, _depth + 1
+            )
+        else:
+            kernel = self._dispatch.get(inner_media, self._do_opaque)
+            content, ctype, cs, spans, meta = kernel(inner, inner_media)
+        meta = dict(meta)
+        meta["rika:container"] = sniff_mod.GZIP
+        return content, ctype, cs, spans, meta
 
     def _do_ole2(self, data: bytes, media: str):
         # container sniff says OLE2; refine by directory stream names

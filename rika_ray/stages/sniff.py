@@ -34,6 +34,7 @@ RTF = "application/rtf"
 ODT = "application/vnd.oasis.opendocument.text"
 EPUB = "application/epub+zip"
 MP3 = "audio/mpeg"
+GZIP = "application/gzip"
 XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
@@ -135,6 +136,8 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return ZIP
     if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         return OLE2
+    if prefix.startswith(b"\x1f\x8b"):
+        return GZIP
     # MP3: ID3v2 tag (validated header: major version 2-4, syncsafe size
     # bytes < 0x80 — a text file that merely starts with "ID3" stays
     # text/plain), or a bare MPEG-1 Layer III frame sync (0xFFFB/0xFFFA)

@@ -192,3 +192,67 @@ def test_jpeg_exif_big_endian_tiff():
 def test_jpeg_without_exif_unchanged():
     _, _, meta = extract_image(docgen.build_jpeg(72, 72), "image/jpeg")
     assert meta == {"Image Height": "72 pixels", "Image Width": "72 pixels"}
+
+
+# ---------------------------------------------------------------- GZIP ----
+
+def _extract_one(payload: bytes):
+    """Run one payload through the ExtractStage dispatch (no Ray)."""
+    import pyarrow as pa
+
+    from rika_ray.stages.extract import ExtractStage
+    from rika_ray.stages.sniff import detect_content_type
+
+    batch = pa.table(
+        {
+            "url": ["https://fixtures.test/x/0"],
+            "html": pa.array([payload], pa.large_binary()),
+        }
+    )
+    out = ExtractStage()(detect_content_type(batch))
+    return out.to_pylist()[0]
+
+
+def test_gzip_text_member_unwraps():
+    import gzip
+
+    text = "Whose woods these are I think I know.\n"
+    row = _extract_one(gzip.compress(text.encode(), mtime=0))
+    assert row["error_type"] is None
+    assert row["content"] == text
+    assert row["media_type"] == "text/plain"
+    assert {"key": "rika:container", "value": "application/gzip"} in row[
+        "metadata"
+    ]
+
+
+def test_gzip_html_member_unwraps_to_html():
+    import gzip
+
+    html = (
+        b"<html><head><title>t</title></head><body><article>"
+        b"<p>The woods are lovely, dark and deep, and the road goes ever on "
+        b"and on, down from the door where it began.</p></article></body></html>"
+    )
+    row = _extract_one(gzip.compress(html, mtime=0))
+    assert row["error_type"] is None
+    assert row["media_type"] == "text/html"
+    assert "lovely" in row["content"]
+
+
+def test_gzip_nested_depth_bounded():
+    import gzip
+
+    payload = b"inner text payload here"
+    wrapped = payload
+    for _ in range(5):  # deeper than _GZIP_MAX_DEPTH
+        wrapped = gzip.compress(wrapped, mtime=0)
+    row = _extract_one(wrapped)
+    # bounded unwrap: never loops forever; deep nesting degrades to empty
+    assert row["error_type"] is None
+    assert row["content"] == ""
+
+
+def test_gzip_corrupt_member_is_parse_error():
+    row = _extract_one(b"\x1f\x8b\x08\x00" + b"\xde\xad\xbe\xef" * 16)
+    assert row["error_type"] == "parse_error"

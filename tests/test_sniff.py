@@ -59,6 +59,10 @@ def test_detect_batch_kernel(corpus_tables):
             # by directory stream names (WordDocument / Workbook /
             # PowerPoint Document)
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
+        elif "/gzip-" in url:
+            # sniff sees the gzip container; the extract stage unwraps the
+            # member and refines to the inner type
+            assert got[url][0] == "application/gzip", (url, got[url])
         elif r["media_type"] is not None:
             assert got[url][0] == r["media_type"], (url, got[url])
 
