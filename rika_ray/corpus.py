@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -839,6 +839,43 @@ def generate_corpus(
         charset=None,
         language=None,
         extra_metadata={"Image Height": "48 pixels", "Image Width": "64 pixels"},
+    )
+    b.add(
+        "tiff",
+        docgen.build_tiff(200, 100, make="Acme"),
+        content="",
+        content_type="image/tiff",
+        media_type="image/tiff",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": "100 pixels",
+            "Image Width": "200 pixels",
+            "tiff:Make": "Acme",
+        },
+    )
+    b.add(
+        "bmp",
+        docgen.build_bmp(40, 30),
+        content="",
+        content_type="image/bmp",
+        media_type="image/bmp",
+        charset=None,
+        language=None,
+        extra_metadata={"Image Height": "30 pixels", "Image Width": "40 pixels"},
+    )
+    b.add(
+        "webp",
+        docgen.build_webp(256, 128),
+        content="",
+        content_type="image/webp",
+        media_type="image/webp",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": "128 pixels",
+            "Image Width": "256 pixels",
+        },
     )
     b.add(
         "gif",

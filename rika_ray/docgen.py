@@ -969,3 +969,60 @@ def build_jpeg_exif(
     app1 = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) + exif_payload
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
     return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# TIFF / BMP / WebP (header-only images for dimension + IFD metadata)
+# ---------------------------------------------------------------------------
+
+
+def build_tiff(width: int, height: int, make: str = "") -> bytes:
+    """Minimal little-endian TIFF: IFD0 with ImageWidth/ImageLength SHORTs
+    (+ optional Make ASCII), no strip data — enough for detection and
+    header metadata extraction."""
+    tags = [
+        (0x0100, 3, 1, struct.pack("<H", width) + b"\x00\x00", None),
+        (0x0101, 3, 1, struct.pack("<H", height) + b"\x00\x00", None),
+    ]
+    extra = b""
+    if make:
+        raw = make.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            tags.append((0x010F, 2, len(raw), raw.ljust(4, b"\x00"), None))
+        else:
+            tags.append((0x010F, 2, len(raw), None, raw))
+    tags.sort(key=lambda t: t[0])
+    n = len(tags)
+    value_off = 8 + 2 + 12 * n + 4
+    entries = b""
+    for tag_id, ftype, count, inline, deferred in tags:
+        if deferred is None:
+            entries += struct.pack("<HHI", tag_id, ftype, count) + inline
+        else:
+            entries += struct.pack(
+                "<HHII", tag_id, ftype, count, value_off + len(extra)
+            )
+            extra += deferred
+    return (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", n) + entries + struct.pack("<I", 0) + extra
+    )
+
+
+def build_bmp(width: int, height: int) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP, no pixel array."""
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib))
+    return header + dib
+
+
+def build_webp(width: int, height: int) -> bytes:
+    """Minimal extended-format WebP: RIFF + VP8X chunk carrying the canvas
+    size (no image data chunks)."""
+    vp8x_payload = (
+        b"\x00\x00\x00\x00"
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x

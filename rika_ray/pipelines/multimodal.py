@@ -54,15 +54,24 @@ def _fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """(pixels HxWx3 uint8, format). Header dims are parsed for real; the
     pixel decode is the stubbed step (see module docstring)."""
+    from rika_ray.stages.image_meta import (
+        bmp_dimensions,
+        tiff_dimensions,
+        webp_dimensions,
+    )
+
     media = sniff_bytes(payload[:2048], payload[-4096:])
-    if media == "image/jpeg":
-        w, h = jpeg_dimensions(payload)
-    elif media == "image/png":
-        w, h = png_dimensions(payload)
-    elif media == "image/gif":
-        w, h = gif_dimensions(payload)
-    else:
+    dims = {
+        "image/jpeg": jpeg_dimensions,
+        "image/png": png_dimensions,
+        "image/gif": gif_dimensions,
+        "image/tiff": tiff_dimensions,
+        "image/bmp": bmp_dimensions,
+        "image/webp": webp_dimensions,
+    }.get(media)
+    if dims is None:
         raise ImageParseError(f"not a supported image: {media}")
+    w, h = dims(payload)
     if HAVE_PIL:  # pragma: no cover - not available in this container
         import io
 

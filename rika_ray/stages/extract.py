@@ -46,7 +46,14 @@ from rika_ray.stages.rtf import extract_rtf
 MSWORD = "application/msword"
 
 _TEXTUAL = {sniff_mod.PLAIN, sniff_mod.XML}
-_IMAGES = {sniff_mod.JPEG, sniff_mod.PNG, sniff_mod.GIF}
+_IMAGES = {
+    sniff_mod.JPEG,
+    sniff_mod.PNG,
+    sniff_mod.GIF,
+    sniff_mod.TIFF,
+    sniff_mod.BMP,
+    sniff_mod.WEBP,
+}
 
 
 _TASK_SINGLETON = None

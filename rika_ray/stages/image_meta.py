@@ -136,9 +136,82 @@ def _parse_tiff_ifd0(tiff: bytes) -> dict[str, str]:
     return out
 
 
+def tiff_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from IFD0 tags 0x0100/0x0101 (SHORT or LONG),
+    either byte order."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ImageParseError("not a TIFF")
+    try:
+        (ifd_off,) = struct.unpack(f"{bo}I", data[4:8])
+        (count,) = struct.unpack(f"{bo}H", data[ifd_off : ifd_off + 2])
+        w = h = None
+        for i in range(count):
+            entry = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+            tag, ftype = struct.unpack(f"{bo}HH", entry[:4])
+            if tag not in (0x0100, 0x0101):
+                continue
+            if ftype == 3:
+                (val,) = struct.unpack(f"{bo}H", entry[8:10])
+            elif ftype == 4:
+                (val,) = struct.unpack(f"{bo}I", entry[8:12])
+            else:
+                continue
+            if tag == 0x0100:
+                w = val
+            else:
+                h = val
+    except (struct.error, IndexError):
+        raise ImageParseError("truncated TIFF IFD") from None
+    if w is None or h is None:
+        raise ImageParseError("TIFF IFD0 lacks dimensions")
+    return w, h
+
+
+def bmp_dimensions(data: bytes) -> tuple[int, int]:
+    if not data.startswith(b"BM") or len(data) < 26:
+        raise ImageParseError("not a BMP")
+    dib = struct.unpack("<I", data[14:18])[0]
+    if dib == 12:  # BITMAPCOREHEADER: u16 dims
+        w, h = struct.unpack("<HH", data[18:22])
+    else:  # BITMAPINFOHEADER family: i32 dims (height may be negative)
+        w, h = struct.unpack("<ii", data[18:26])
+    return w, abs(h)
+
+
+def webp_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from VP8X (canvas), lossy VP8 (keyframe), or VP8L
+    (stream header) chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP" or len(data) < 30:
+        raise ImageParseError("not a WebP")
+    chunk = data[12:16]
+    if chunk == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    if chunk == b"VP8 ":
+        # keyframe: 3-byte frame tag, then 3-byte start code 9D 01 2A
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ImageParseError("VP8 chunk is not a keyframe")
+        w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+        return w, h
+    if chunk == b"VP8L":
+        if data[20] != 0x2F:
+            raise ImageParseError("bad VP8L signature")
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    raise ImageParseError(f"unknown WebP chunk {chunk!r}")
+
+
 def extract_image(data: bytes, media_type: str) -> tuple[str, list, dict[str, str]]:
     """(content="", spans=[], metadata with Image Width/Height and, for
-    JPEG, any EXIF IFD0 tags)."""
+    JPEG/TIFF, any EXIF/IFD0 tags)."""
     meta: dict[str, str] = {}
     if media_type == "image/jpeg":
         w, h = jpeg_dimensions(data)
@@ -147,6 +220,16 @@ def extract_image(data: bytes, media_type: str) -> tuple[str, list, dict[str, st
         w, h = png_dimensions(data)
     elif media_type == "image/gif":
         w, h = gif_dimensions(data)
+    elif media_type == "image/tiff":
+        w, h = tiff_dimensions(data)
+        try:
+            meta.update(_parse_tiff_ifd0(data))
+        except (struct.error, IndexError):
+            pass
+    elif media_type == "image/bmp":
+        w, h = bmp_dimensions(data)
+    elif media_type == "image/webp":
+        w, h = webp_dimensions(data)
     else:
         raise ImageParseError(f"unsupported image type {media_type}")
     meta["Image Height"] = f"{h} pixels"

@@ -35,6 +35,9 @@ ODT = "application/vnd.oasis.opendocument.text"
 EPUB = "application/epub+zip"
 MP3 = "audio/mpeg"
 GZIP = "application/gzip"
+TIFF = "image/tiff"
+BMP = "image/bmp"
+WEBP = "image/webp"
 XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
@@ -115,6 +118,19 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return GIF
     if prefix.startswith(b"\xff\xd8\xff"):
         return JPEG
+    if prefix.startswith((b"II*\x00", b"MM\x00*")):
+        return TIFF
+    if prefix[:4] == b"RIFF" and prefix[8:12] == b"WEBP":
+        return WEBP
+    # BMP: "BM" alone collides with text ("BMW …"); require a known DIB
+    # header size at offset 14 (BITMAPCOREHEADER through V5HEADER)
+    if (
+        prefix.startswith(b"BM")
+        and len(prefix) >= 18
+        and int.from_bytes(prefix[14:18], "little")
+        in (12, 40, 52, 56, 64, 108, 124)
+    ):
+        return BMP
     if prefix.startswith(b"{\\rtf"):
         return RTF
     if prefix.startswith(b"PK\x03\x04"):

@@ -256,3 +256,69 @@ def test_gzip_nested_depth_bounded():
 def test_gzip_corrupt_member_is_parse_error():
     row = _extract_one(b"\x1f\x8b\x08\x00" + b"\xde\xad\xbe\xef" * 16)
     assert row["error_type"] == "parse_error"
+
+
+# --------------------------------------------------- TIFF / BMP / WebP ----
+
+def test_tiff_dimensions_and_ifd_metadata():
+    data = docgen.build_tiff(200, 100, make="Acme")
+    assert sniff.sniff_bytes(data) == sniff.TIFF
+    _, _, meta = extract_image(data, "image/tiff")
+    assert meta == {
+        "Image Height": "100 pixels",
+        "Image Width": "200 pixels",
+        "tiff:Make": "Acme",
+    }
+
+
+def test_bmp_dimensions_incl_topdown():
+    data = docgen.build_bmp(40, 30)
+    assert sniff.sniff_bytes(data) == sniff.BMP
+    _, _, meta = extract_image(data, "image/bmp")
+    assert meta == {"Image Height": "30 pixels", "Image Width": "40 pixels"}
+    # top-down BMP stores a negative height
+    import struct as _s
+
+    topdown = data[:22] + _s.pack("<i", -30) + data[26:]
+    _, _, meta = extract_image(topdown, "image/bmp")
+    assert meta["Image Height"] == "30 pixels"
+
+
+def test_text_starting_with_bm_stays_plain():
+    assert sniff.sniff_bytes(b"BMW sales rose sharply this quarter.") == sniff.PLAIN
+
+
+def test_webp_vp8x_vp8_vp8l_dimensions():
+    import struct as _s
+
+    from rika_ray.stages.image_meta import webp_dimensions
+
+    data = docgen.build_webp(256, 128)
+    assert sniff.sniff_bytes(data) == sniff.WEBP
+    assert webp_dimensions(data) == (256, 128)
+    # lossy VP8 keyframe header
+    vp8_payload = (
+        b"\x00" * 3 + b"\x9d\x01\x2a"  # 3-byte frame tag, keyframe start code
+        + _s.pack("<H", 320) + _s.pack("<H", 240) + b"\x00" * 20
+    )
+    vp8 = b"VP8 " + _s.pack("<I", len(vp8_payload)) + vp8_payload
+    data = b"RIFF" + _s.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
+    assert webp_dimensions(data) == (320, 240)
+    # VP8L lossless stream header: sig 0x2F then 14-bit w-1 / h-1
+    bits = (100 - 1) | ((50 - 1) << 14)
+    vp8l_payload = b"\x2f" + _s.pack("<I", bits)
+    vp8l = b"VP8L" + _s.pack("<I", len(vp8l_payload)) + vp8l_payload
+    data = b"RIFF" + _s.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l + b"\x00" * 8
+    assert webp_dimensions(data) == (100, 50)
+
+
+def test_new_image_types_decode_with_stub():
+    from rika_ray.pipelines.multimodal import decode_image
+
+    for payload, h, w in (
+        (docgen.build_tiff(20, 10), 10, 20),
+        (docgen.build_bmp(16, 8), 8, 16),
+        (docgen.build_webp(12, 6), 6, 12),
+    ):
+        pixels, media = decode_image(payload)
+        assert pixels.shape == (h, w, 3)
