@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -774,6 +774,124 @@ def generate_corpus(
         charset=None,
         language=None,
         error_type="parse_error",
+    )
+
+    # --- zip / tar archives: embedded members auto-detected and parsed,
+    # texts concatenated in archive order (Tika PackageParser semantics);
+    # media_type stays the container's, member tally in metadata
+    for _ in range(max(2, n_per_family)):
+        t1 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        t2 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        title = rng.choice(ARTICLE_TOPICS)
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(2, 4))
+            for _ in range(rng.randint(2, 3))
+        ]
+        html_payload = docgen.build_html_page(
+            title, paras, rng.sample(NAV_LINKS, 8)
+        )
+        payload = docgen.build_zip(
+            [
+                ("docs/a.txt", t1.encode("utf-8")),
+                ("docs/b.txt", t2.encode("utf-8")),
+                ("pages/index.html", html_payload),
+            ]
+        )
+        html_content = docgen.expected_html_content(paras)
+        b.add(
+            "zip-archive",
+            payload,
+            content=t1 + t2 + html_content + "\n",
+            content_type="application/zip",
+            media_type="application/zip",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "rika:container": "application/zip",
+                "rika:entry-count": "3",
+            },
+            claimed_lang="en",
+        )
+    for _ in range(max(2, n_per_family)):
+        t1 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        t2 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        tar_payload = docgen.build_tar(
+            [("a.txt", t1.encode("utf-8")), ("b.txt", t2.encode("utf-8"))]
+        )
+        b.add(
+            "tar-archive",
+            tar_payload,
+            content=t1 + t2,
+            content_type="application/x-tar",
+            media_type="application/x-tar",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "rika:container": "application/x-tar",
+                "rika:entry-count": "2",
+            },
+            claimed_lang="en",
+        )
+        # .tar.gz: gzip unwrap refines to the tar, container records the
+        # CHAIN outermost-first
+        b.add(
+            "tgz-archive",
+            _gzip.compress(tar_payload, mtime=0),
+            content=t1 + t2,
+            content_type="application/x-tar",
+            media_type="application/x-tar",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "rika:container": "application/gzip,application/x-tar",
+                "rika:entry-count": "2",
+            },
+            claimed_lang="en",
+        )
+    # zip-in-zip: nested members extract through the same dispatch with
+    # bounded depth
+    inner_t = _paragraph(rng, WORD_POOL["en"], 4) + "\n"
+    top_t = _paragraph(rng, WORD_POOL["en"], 4) + "\n"
+    inner_zip = docgen.build_zip([("deep.txt", inner_t.encode("utf-8"))])
+    b.add(
+        "zip-nested",
+        docgen.build_zip(
+            [("inner.zip", inner_zip), ("top.txt", top_t.encode("utf-8"))]
+        ),
+        content=inner_t + top_t,
+        content_type="application/zip",
+        media_type="application/zip",
+        charset=None,
+        language="en",
+        extra_metadata={
+            "rika:container": "application/zip",
+            "rika:entry-count": "2",
+        },
+        claimed_lang="en",
+    )
+    # corrupt zip (no central directory) → parse_error row, run continues
+    b.add(
+        "corrupt-zip",
+        b"PK\x03\x04" + bytes(rng.getrandbits(8) for _ in range(64)),
+        content=None,
+        content_type=None,
+        media_type="application/zip",
+        charset=None,
+        language=None,
+        error_type="parse_error",
+    )
+
+    # --- encrypted PDF → typed encrypted_document error (Tika
+    # EncryptedDocumentException analogue), never a text-recovery attempt
+    b.add(
+        "pdf-encrypted",
+        docgen.build_pdf_encrypted([["This text must not be extracted."]]),
+        content=None,
+        content_type=None,
+        media_type="application/pdf",
+        charset=None,
+        language=None,
+        error_type="encrypted_document",
     )
 
     # --- ole2 container with no WordDocument stream → empty content

@@ -1026,3 +1026,47 @@ def build_webp(width: int, height: int) -> bytes:
     )
     vp8x = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
     return b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x
+
+
+# ---------------------------------------------------------------------------
+# ZIP / TAR archives and an encrypted PDF
+# ---------------------------------------------------------------------------
+
+
+def build_zip(entries: list[tuple[str, bytes]]) -> bytes:
+    """A deterministic ZIP archive: fixed 1980-01-01 timestamps (the
+    ZipInfo default), DEFLATE members, written in the given order."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in entries:
+            zf.writestr(zipfile.ZipInfo(name), data)
+    return buf.getvalue()
+
+
+def build_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """A deterministic uncompressed POSIX tar (mtime pinned to 0)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in entries:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def build_pdf_encrypted(pages: list[list[str]]) -> bytes:
+    """A structurally-valid PDF whose trailer carries an ``/Encrypt``
+    dictionary reference — the extractor must refuse it as
+    ``encrypted_document`` without attempting text recovery (Tika
+    EncryptedDocumentException analogue)."""
+    data = build_pdf(pages)
+    out = data.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 90 0 R ", 1)
+    assert out != data, "trailer marker not found"
+    return out

@@ -89,6 +89,7 @@ ERROR_TYPES = (
     "io_error",  # stream-level failure (rika_command.rb:207)
     "invalid_input",  # ArgumentError analogue (rika_command.rb:209)
     "parse_error",  # parser kernel failed on this document
+    "encrypted_document",  # Tika EncryptedDocumentException analogue
 )
 
 

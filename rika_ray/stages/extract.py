@@ -40,7 +40,8 @@ from rika_ray.stages.office import (
     extract_xls,
     extract_xlsx,
 )
-from rika_ray.stages.pdf_extract import extract_pdf
+from rika_ray.stages.archive import iter_tar_entries, iter_zip_entries
+from rika_ray.stages.pdf_extract import PdfEncryptedError, extract_pdf
 from rika_ray.stages.rtf import extract_rtf
 
 MSWORD = "application/msword"
@@ -87,6 +88,8 @@ class ExtractStage:
             sniff_mod.EPUB: self._do_epub,
             sniff_mod.MP3: self._do_mp3,
             sniff_mod.GZIP: self._do_gzip,
+            sniff_mod.ZIP: self._do_zip,
+            sniff_mod.TAR: self._do_tar,
             # text:p extraction applies to every ODF package kind (ODS
             # cells and ODP frames hold text:p too)
             **{
@@ -162,16 +165,78 @@ class ExtractStage:
                 f"gzip member expands past {self._GZIP_MAX_EXPANDED} bytes"
             )
         inner_media = sniff_mod.sniff_bytes(inner[:2048], inner[-4096:])
-        if inner_media == sniff_mod.GZIP:
-            content, ctype, cs, spans, meta = self._do_gzip(
-                inner, inner_media, _depth + 1
-            )
-        else:
-            kernel = self._dispatch.get(inner_media, self._do_opaque)
-            content, ctype, cs, spans, meta = kernel(inner, inner_media)
+        content, ctype, cs, spans, meta = self._route(
+            inner, inner_media, _depth + 1
+        )
         meta = dict(meta)
-        meta["rika:container"] = sniff_mod.GZIP
+        inner_container = meta.get("rika:container")
+        # container CHAIN, outermost first (e.g. .tar.gz →
+        # "application/gzip,application/x-tar")
+        meta["rika:container"] = (
+            sniff_mod.GZIP
+            if inner_container is None
+            else f"{sniff_mod.GZIP},{inner_container}"
+        )
         return content, ctype, cs, spans, meta
+
+    def _route(self, data: bytes, media: str, depth: int):
+        """Dispatch to the kernel for ``media``, threading the container
+        nesting depth into container kernels (gzip/zip/tar) so nested
+        packaging terminates at ``_GZIP_MAX_DEPTH`` regardless of the
+        container mix."""
+        kernel = self._dispatch.get(media, self._do_opaque)
+        if kernel in (self._do_gzip, self._do_zip, self._do_tar):
+            return kernel(data, media, depth)
+        return kernel(data, media)
+
+    def _do_zip(self, data: bytes, media: str, _depth: int = 0):
+        return self._do_archive(iter_zip_entries, data, media, _depth)
+
+    def _do_tar(self, data: bytes, media: str, _depth: int = 0):
+        return self._do_archive(iter_tar_entries, data, media, _depth)
+
+    def _do_archive(self, entries, data: bytes, media: str, depth: int):
+        # Tika PackageParser semantics behind the one-parse surface
+        # (/root/reference/lib/rika/parser.rb:21-29): each embedded member
+        # is auto-detected and parsed by the same dispatch, their extracted
+        # texts concatenated in archive order; the document's own media
+        # type stays the container's. Member spans are preserved with
+        # ``page`` renumbered to the member ordinal (the EPUB chapter
+        # convention). Bomb guards live in stages/archive.py; nesting depth
+        # is bounded here.
+        if depth >= self._GZIP_MAX_DEPTH:
+            return "", media, None, [], {}
+        parts: list[str] = []
+        spans: list[dict] = []
+        n_total = 0
+        n_walked = 0
+        for ordinal, (name, member, total) in enumerate(entries(data)):
+            n_total = total
+            n_walked += 1
+            if member is None:  # skipped by a bomb/encryption guard
+                continue
+            inner_media = sniff_mod.sniff_bytes(member[:2048], member[-4096:])
+            try:
+                content, _ctype, _cs, m_spans, _meta = self._route(
+                    member, inner_media, depth + 1
+                )
+            except Exception as e:  # poison member: skip, keep the archive
+                if isinstance(e, (MemoryError, KeyboardInterrupt)):
+                    raise
+                continue
+            if content:
+                parts.append(
+                    content if content.endswith("\n") else content + "\n"
+                )
+                for s in m_spans:
+                    spans.append({**s, "page": ordinal})
+        meta = {
+            "rika:container": media,
+            "rika:entry-count": str(n_total),
+        }
+        if n_walked < n_total:
+            meta["rika:entries-truncated"] = str(n_total - n_walked)
+        return "".join(parts), media, None, spans, meta
 
     def _do_ole2(self, data: bytes, media: str):
         # container sniff says OLE2; refine by directory stream names
@@ -232,7 +297,11 @@ class ExtractStage:
             except Exception as e:  # poison row must never abort the job
                 if isinstance(e, (MemoryError, KeyboardInterrupt)):
                     raise
-                err_t[i] = "parse_error"
+                err_t[i] = (
+                    "encrypted_document"
+                    if isinstance(e, PdfEncryptedError)
+                    else "parse_error"
+                )
                 err_m[i] = f"{type(e).__name__}: {e}"
                 continue
             contents[i] = content

@@ -34,6 +34,14 @@ import re
 import zlib
 
 
+class PdfEncryptedError(Exception):
+    """Document is encrypted (``/Encrypt`` in the trailer) — text is not
+    recoverable without key material. Tika raises
+    ``EncryptedDocumentException`` here, which the reference surfaces as a
+    typed failure; the caller maps this to an
+    ``error_type="encrypted_document"`` row (§2.8 error-as-data)."""
+
+
 class PdfParseError(Exception):
     """Raised for documents this parser cannot interpret."""
 
@@ -599,6 +607,8 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
     ``error_type="parse_error"`` row.
     """
     doc = PdfDocument(data)
+    if "/Encrypt" in doc.trailer:
+        raise PdfEncryptedError("PDF has an /Encrypt dictionary")
     pages = doc.pages()
     spans: list[dict] = []
     parts = ["\n"]  # the reference's leading-newline quirk (parser_spec.rb:157-162)

@@ -35,6 +35,7 @@ ODT = "application/vnd.oasis.opendocument.text"
 EPUB = "application/epub+zip"
 MP3 = "audio/mpeg"
 GZIP = "application/gzip"
+TAR = "application/x-tar"
 TIFF = "image/tiff"
 BMP = "image/bmp"
 WEBP = "image/webp"
@@ -154,6 +155,13 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return OLE2
     if prefix.startswith(b"\x1f\x8b"):
         return GZIP
+    # TAR (POSIX ustar / GNU): magic at offset 257 inside the first header
+    # block — covered by the 2048-byte sniff prefix
+    if prefix[257:262] == b"ustar" and prefix[262:265] in (
+        b"\x0000",
+        b"  \x00",
+    ):
+        return TAR
     # MP3: ID3v2 tag (validated header: major version 2-4, syncsafe size
     # bytes < 0x80 — a text file that merely starts with "ID3" stays
     # text/plain), or a bare MPEG-1 Layer III frame sync (0xFFFB/0xFFFA)

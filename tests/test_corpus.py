@@ -45,8 +45,14 @@ def test_error_rows_marked(corpus_tables):
         by_err.setdefault(r["error_type"], []).append(r)
     assert len(by_err[None]) > 0
     assert len(by_err["empty_file"]) == 2
-    assert len(by_err["parse_error"]) == 5  # 2 random-bytes + 2 corrupt xref-stream + 1 corrupt gzip
-    for r in by_err["empty_file"] + by_err["parse_error"]:
+    # 2 random-bytes + 2 corrupt xref-stream + 1 corrupt gzip + 1 corrupt zip
+    assert len(by_err["parse_error"]) == 6
+    assert len(by_err["encrypted_document"]) == 1
+    for r in (
+        by_err["empty_file"]
+        + by_err["parse_error"]
+        + by_err["encrypted_document"]
+    ):
         assert r["content"] is None
         assert r["metadata"] is None
 

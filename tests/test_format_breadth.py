@@ -322,3 +322,129 @@ def test_new_image_types_decode_with_stub():
     ):
         pixels, media = decode_image(payload)
         assert pixels.shape == (h, w, 3)
+
+
+# ------------------------------------------------------- ZIP/TAR archives ----
+
+def _stage():
+    from rika_ray.stages.extract import ExtractStage
+
+    return ExtractStage()
+
+
+def test_zip_members_concatenate_in_order():
+    z = docgen.build_zip(
+        [("a.txt", b"alpha one\n"), ("sub/b.txt", b"beta two\n")]
+    )
+    assert sniff.sniff_bytes(z[:2048], z[-4096:]) == sniff.ZIP
+    content, ctype, cs, spans, meta = _stage()._do_zip(z, sniff.ZIP)
+    assert content == "alpha one\nbeta two\n"
+    assert ctype == sniff.ZIP and cs is None
+    assert meta == {
+        "rika:container": "application/zip",
+        "rika:entry-count": "2",
+    }
+
+
+def test_zip_html_member_extracts_main_content():
+    paras = [
+        "Real paragraph body one with enough running text that the "
+        "block classifier keeps it as main content.",
+        "Real paragraph body two, also long enough to score as a "
+        "content block rather than boilerplate.",
+    ]
+    page = docgen.build_html_page("T", paras, [])
+    z = docgen.build_zip([("index.html", page)])
+    content, *_ = _stage()._do_zip(z, sniff.ZIP)
+    assert content == docgen.expected_html_content(paras) + "\n"
+
+
+def test_tar_members_and_tgz_chain():
+    import gzip
+
+    t = docgen.build_tar([("x.txt", b"tar body\n")])
+    assert sniff.sniff_bytes(t[:2048], t[-4096:]) == sniff.TAR
+    content, ctype, _, _, meta = _stage()._do_tar(t, sniff.TAR)
+    assert content == "tar body\n" and ctype == sniff.TAR
+    # .tar.gz through the gzip kernel: media refines to the tar, the
+    # container chain records both, outermost first
+    content2, ctype2, _, _, meta2 = _stage()._do_gzip(
+        gzip.compress(t, mtime=0), sniff.GZIP
+    )
+    assert content2 == "tar body\n" and ctype2 == sniff.TAR
+    assert meta2["rika:container"] == "application/gzip,application/x-tar"
+
+
+def test_zip_nested_depth_bounded():
+    z = docgen.build_zip([("leaf.txt", b"leaf\n")])
+    for _ in range(4):
+        z = docgen.build_zip([("inner.zip", z)])
+    content, *_ = _stage()._do_zip(z, sniff.ZIP)
+    assert content == ""  # depth cap reached before the leaf
+
+
+def test_zip_poison_member_skipped_archive_survives():
+    z = docgen.build_zip(
+        [("bad.pdf", b"%PDF-1.4 garbage with no xref"), ("ok.txt", b"fine\n")]
+    )
+    content, *_ = _stage()._do_zip(z, sniff.ZIP)
+    assert content == "fine\n"
+
+
+def test_zip_oversized_member_skipped_and_recorded():
+    from rika_ray.stages import archive as arch
+
+    z = docgen.build_zip([("big.txt", b"x" * 128), ("ok.txt", b"ok\n")])
+    orig = arch.MAX_ENTRY_BYTES
+    arch.MAX_ENTRY_BYTES = 64
+    try:
+        content, _, _, _, meta = _stage()._do_zip(z, sniff.ZIP)
+    finally:
+        arch.MAX_ENTRY_BYTES = orig
+    assert content == "ok\n"
+    assert meta["rika:entry-count"] == "2"
+
+
+def test_zip_entry_cap_records_truncation():
+    from rika_ray.stages import archive as arch
+
+    z = docgen.build_zip([(f"f{i}.txt", b"t\n") for i in range(6)])
+    orig = arch.MAX_ENTRIES
+    arch.MAX_ENTRIES = 4
+    try:
+        _, _, _, _, meta = _stage()._do_zip(z, sniff.ZIP)
+    finally:
+        arch.MAX_ENTRIES = orig
+    assert meta["rika:entry-count"] == "6"
+    assert meta["rika:entries-truncated"] == "2"
+
+
+def test_corrupt_archives_raise_for_error_row():
+    from rika_ray.stages.archive import (
+        ArchiveParseError,
+        iter_tar_entries,
+        iter_zip_entries,
+    )
+
+    with pytest.raises(ArchiveParseError):
+        list(iter_zip_entries(b"PK\x03\x04" + b"\x01" * 64))
+    with pytest.raises(ArchiveParseError):
+        list(iter_tar_entries(b"\x00" * 100))
+
+
+# -------------------------------------------------------- encrypted PDF ----
+
+def test_encrypted_pdf_refused_without_text_recovery():
+    from rika_ray.stages.pdf_extract import PdfEncryptedError, extract_pdf
+
+    data = docgen.build_pdf_encrypted([["Hidden text."]])
+    assert sniff.sniff_bytes(data[:2048], data[-4096:]) == sniff.PDF
+    with pytest.raises(PdfEncryptedError):
+        extract_pdf(data)
+
+
+def test_plain_pdf_still_extracts():
+    from rika_ray.stages.pdf_extract import extract_pdf
+
+    content, _, _ = extract_pdf(docgen.build_pdf([["Visible text."]]))
+    assert "Visible text." in content

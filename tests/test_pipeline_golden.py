@@ -92,7 +92,9 @@ def test_error_rows_and_continuation(extracted, corpus_dir):
             n_err += 1
             assert g["content"] is None
             assert g["error_message"] is not None
-    assert n_err == 7  # 2 empty + 4 corrupt-pdf + 1 corrupt-gzip — run completed
+    # 2 empty + 4 corrupt-pdf + 1 corrupt-gzip + 1 corrupt-zip +
+    # 1 encrypted-pdf — run completed
+    assert n_err == 9
 
 
 def test_provenance_columns(extracted):
@@ -106,7 +108,8 @@ def test_tallies(ray_session, corpus_dir):
     out = build_extraction_pipeline(ds, ExtractionConfig())
     err = {r["error_type"]: r["count()"] for r in error_tally(out).take_all()}
     assert err.get("empty_file") == 2
-    assert err.get("parse_error") == 5
+    assert err.get("parse_error") == 6
+    assert err.get("encrypted_document") == 1
     mt = media_type_tally(out).to_pandas()
     assert (mt["media_type"].dropna().sort_values().tolist()
             == sorted(mt["media_type"].dropna().tolist()))

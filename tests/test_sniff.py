@@ -59,7 +59,7 @@ def test_detect_batch_kernel(corpus_tables):
             # by directory stream names (WordDocument / Workbook /
             # PowerPoint Document)
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
-        elif "/gzip-" in url:
+        elif "/gzip-" in url or "/tgz-" in url:
             # sniff sees the gzip container; the extract stage unwraps the
             # member and refines to the inner type
             assert got[url][0] == "application/gzip", (url, got[url])
