@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 12
+CORPUS_VERSION = 13
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -848,6 +848,49 @@ def generate_corpus(
             },
             claimed_lang="en",
         )
+    # .tar.bz2 / .tar.xz: the other stdlib compressors unwrap through the
+    # same bounded path; chain records outermost-first
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    t1 = _paragraph(rng, WORD_POOL["en"], 4) + "\n"
+    tar_payload = docgen.build_tar([("only.txt", t1.encode("utf-8"))])
+    for comp_name, comp_media, comp in (
+        ("tbz2", "application/x-bzip2", _bz2.compress),
+        ("txz", "application/x-xz", _lzma.compress),
+    ):
+        b.add(
+            f"{comp_name}-archive",
+            comp(tar_payload),
+            content=t1,
+            content_type="application/x-tar",
+            media_type="application/x-tar",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "rika:container": f"{comp_media},application/x-tar",
+                "rika:entry-count": "1",
+            },
+            claimed_lang="en",
+        )
+
+    # 7z / RAR: detected by magic, no from-scratch parser — opaque
+    # container type with empty content (the reference's unknown-binary
+    # convention, spec/rika/parser_spec.rb:186-188)
+    for fam, magic, media in (
+        ("sevenz", b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+        ("rar", b"Rar!\x1a\x07\x01\x00", "application/x-rar-compressed"),
+    ):
+        b.add(
+            fam,
+            magic + bytes(rng.getrandbits(8) for _ in range(48)),
+            content="",
+            content_type=media,
+            media_type=media,
+            charset=None,
+            language=None,
+        )
+
     # zip-in-zip: nested members extract through the same dispatch with
     # bounded depth
     inner_t = _paragraph(rng, WORD_POOL["en"], 4) + "\n"

@@ -88,6 +88,8 @@ class ExtractStage:
             sniff_mod.EPUB: self._do_epub,
             sniff_mod.MP3: self._do_mp3,
             sniff_mod.GZIP: self._do_gzip,
+            sniff_mod.BZIP2: self._do_bzip2,
+            sniff_mod.XZ: self._do_xz,
             sniff_mod.ZIP: self._do_zip,
             sniff_mod.TAR: self._do_tar,
             # text:p extraction applies to every ODF package kind (ODS
@@ -149,33 +151,62 @@ class ExtractStage:
     _GZIP_MAX_DEPTH = 3
 
     def _do_gzip(self, data: bytes, media: str, _depth: int = 0):
+        import zlib
+
+        def inflate(d: bytes, cap: int) -> bytes:
+            z = zlib.decompressobj(wbits=31)
+            out = z.decompress(d, cap)
+            if z.unconsumed_tail:
+                raise ValueError(f"gzip member expands past {cap} bytes")
+            return out
+
+        return self._do_compressed(inflate, sniff_mod.GZIP, data, _depth)
+
+    def _do_bzip2(self, data: bytes, media: str, _depth: int = 0):
+        import bz2
+
+        def inflate(d: bytes, cap: int) -> bytes:
+            z = bz2.BZ2Decompressor()
+            out = z.decompress(d, cap)
+            if not z.eof and not z.needs_input:
+                raise ValueError(f"bzip2 member expands past {cap} bytes")
+            return out
+
+        return self._do_compressed(inflate, sniff_mod.BZIP2, data, _depth)
+
+    def _do_xz(self, data: bytes, media: str, _depth: int = 0):
+        import lzma
+
+        def inflate(d: bytes, cap: int) -> bytes:
+            z = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            out = z.decompress(d, cap)
+            if not z.eof and not z.needs_input:
+                raise ValueError(f"xz member expands past {cap} bytes")
+            return out
+
+        return self._do_compressed(inflate, sniff_mod.XZ, data, _depth)
+
+    def _do_compressed(self, inflate, container: str, data: bytes, depth: int):
         # transparent member unwrap (Tika CompressorParser semantics behind
         # the one-parse surface, /root/reference/lib/rika/parser.rb:21-29):
         # decompress bounded, re-sniff the inner bytes, dispatch to the
         # inner kernel; media_type refines to the INNER type and the
         # container is recorded as metadata
-        import zlib
-
-        if _depth >= self._GZIP_MAX_DEPTH:
-            return "", media, None, [], {}
-        d = zlib.decompressobj(wbits=31)
-        inner = d.decompress(data, self._GZIP_MAX_EXPANDED)
-        if d.unconsumed_tail:
-            raise ValueError(
-                f"gzip member expands past {self._GZIP_MAX_EXPANDED} bytes"
-            )
+        if depth >= self._GZIP_MAX_DEPTH:
+            return "", container, None, [], {}
+        inner = inflate(data, self._GZIP_MAX_EXPANDED)
         inner_media = sniff_mod.sniff_bytes(inner[:2048], inner[-4096:])
         content, ctype, cs, spans, meta = self._route(
-            inner, inner_media, _depth + 1
+            inner, inner_media, depth + 1
         )
         meta = dict(meta)
         inner_container = meta.get("rika:container")
         # container CHAIN, outermost first (e.g. .tar.gz →
         # "application/gzip,application/x-tar")
         meta["rika:container"] = (
-            sniff_mod.GZIP
+            container
             if inner_container is None
-            else f"{sniff_mod.GZIP},{inner_container}"
+            else f"{container},{inner_container}"
         )
         return content, ctype, cs, spans, meta
 
@@ -185,7 +216,13 @@ class ExtractStage:
         packaging terminates at ``_GZIP_MAX_DEPTH`` regardless of the
         container mix."""
         kernel = self._dispatch.get(media, self._do_opaque)
-        if kernel in (self._do_gzip, self._do_zip, self._do_tar):
+        if kernel in (
+            self._do_gzip,
+            self._do_bzip2,
+            self._do_xz,
+            self._do_zip,
+            self._do_tar,
+        ):
             return kernel(data, media, depth)
         return kernel(data, media)
 

@@ -36,6 +36,11 @@ EPUB = "application/epub+zip"
 MP3 = "audio/mpeg"
 GZIP = "application/gzip"
 TAR = "application/x-tar"
+BZIP2 = "application/x-bzip2"
+XZ = "application/x-xz"
+ZSTD = "application/zstd"
+SEVENZ = "application/x-7z-compressed"
+RAR = "application/x-rar-compressed"
 TIFF = "image/tiff"
 BMP = "image/bmp"
 WEBP = "image/webp"
@@ -155,6 +160,22 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return OLE2
     if prefix.startswith(b"\x1f\x8b"):
         return GZIP
+    # bzip2: "BZh" + level digit + the 6-byte compressed-block pi magic
+    # (the pi bytes keep a text file that merely starts "BZh9..." textual)
+    if (
+        prefix[:3] == b"BZh"
+        and prefix[3:4] in b"123456789"
+        and prefix[4:10] == b"\x31\x41\x59\x26\x53\x59"
+    ):
+        return BZIP2
+    if prefix.startswith(b"\xfd7zXZ\x00"):
+        return XZ
+    if prefix.startswith(b"\x28\xb5\x2f\xfd"):
+        return ZSTD
+    if prefix.startswith(b"7z\xbc\xaf\x27\x1c"):
+        return SEVENZ
+    if prefix.startswith(b"Rar!\x1a\x07"):
+        return RAR
     # TAR (POSIX ustar / GNU): magic at offset 257 inside the first header
     # block — covered by the 2048-byte sniff prefix
     if prefix[257:262] == b"ustar" and prefix[262:265] in (

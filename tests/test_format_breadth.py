@@ -448,3 +448,67 @@ def test_plain_pdf_still_extracts():
 
     content, _, _ = extract_pdf(docgen.build_pdf([["Visible text."]]))
     assert "Visible text." in content
+
+
+# ------------------------------------------------- bzip2 / xz / 7z / rar ----
+
+def test_bzip2_and_xz_unwrap_like_gzip():
+    import bz2
+    import lzma
+
+    body = b"compressed body text\n"
+    bz = bz2.compress(body)
+    xz = lzma.compress(body)
+    assert sniff.sniff_bytes(bz[:2048], bz[-4096:]) == sniff.BZIP2
+    assert sniff.sniff_bytes(xz[:2048], xz[-4096:]) == sniff.XZ
+    st = _stage()
+    c1, t1, _, _, m1 = st._do_bzip2(bz, sniff.BZIP2)
+    c2, t2, _, _, m2 = st._do_xz(xz, sniff.XZ)
+    assert c1 == c2 == "compressed body text\n"
+    assert t1.split(";")[0] == t2.split(";")[0] == sniff.PLAIN
+    assert m1["rika:container"] == sniff.BZIP2
+    assert m2["rika:container"] == sniff.XZ
+
+
+def test_tar_bz2_and_tar_xz_chain():
+    import bz2
+    import lzma
+
+    t = docgen.build_tar([("x.txt", b"tar via bz2\n")])
+    c, ctype, _, _, meta = _stage()._do_bzip2(bz2.compress(t), sniff.BZIP2)
+    assert c == "tar via bz2\n" and ctype == sniff.TAR
+    assert meta["rika:container"] == f"{sniff.BZIP2},{sniff.TAR}"
+    c, ctype, _, _, meta = _stage()._do_xz(lzma.compress(t), sniff.XZ)
+    assert c == "tar via bz2\n" and ctype == sniff.TAR
+    assert meta["rika:container"] == f"{sniff.XZ},{sniff.TAR}"
+
+
+def test_bzip2_bomb_guard_raises_for_error_row():
+    import bz2
+
+    from rika_ray.stages.extract import ExtractStage
+
+    st = _stage()
+    orig = ExtractStage._GZIP_MAX_EXPANDED
+    ExtractStage._GZIP_MAX_EXPANDED = 1024
+    try:
+        with pytest.raises(ValueError):
+            st._do_bzip2(bz2.compress(b"\x00" * 65536), sniff.BZIP2)
+    finally:
+        ExtractStage._GZIP_MAX_EXPANDED = orig
+
+
+def test_7z_rar_zstd_detected_as_opaque_containers():
+    assert sniff.sniff_bytes(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32) == sniff.SEVENZ
+    assert sniff.sniff_bytes(b"Rar!\x1a\x07\x01\x00" + b"\x00" * 32) == sniff.RAR
+    assert sniff.sniff_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 32) == sniff.ZSTD
+    # no parser → opaque kernel: empty content, media stays the container's
+    content, ctype, _, _, _ = _stage()._route(
+        b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32, sniff.SEVENZ, 0
+    )
+    assert content == "" and ctype == sniff.SEVENZ
+
+
+def test_text_starting_bzh_stays_plain():
+    payload = b"BZh9 is the bzip2 best-compression flag, says this text."
+    assert sniff.sniff_bytes(payload[:2048], payload[-4096:]) == sniff.PLAIN

@@ -39,6 +39,16 @@ def test_bom_text():
     assert _sniff(b"\xef\xbb\xbfhello world") == sniff.PLAIN
 
 
+# families whose expected media_type is the post-unwrap INNER type; the
+# sniffer alone reports the compressor container
+_COMPRESSED_FAMS = {
+    "gzip": "application/gzip",
+    "tgz": "application/gzip",
+    "tbz2": "application/x-bzip2",
+    "txz": "application/x-xz",
+}
+
+
 def test_detect_batch_kernel(corpus_tables):
     web_pages, expected = corpus_tables
     out = detect_content_type(web_pages)
@@ -59,10 +69,16 @@ def test_detect_batch_kernel(corpus_tables):
             # by directory stream names (WordDocument / Workbook /
             # PowerPoint Document)
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
-        elif "/gzip-" in url or "/tgz-" in url:
-            # sniff sees the gzip container; the extract stage unwraps the
-            # member and refines to the inner type
-            assert got[url][0] == "application/gzip", (url, got[url])
+        elif any(
+            f"/{fam}-" in url
+            for fam, _ in _COMPRESSED_FAMS.items()
+        ):
+            # sniff sees the compressor container; the extract stage unwraps
+            # the member and refines to the inner type
+            fam = next(
+                f for f in _COMPRESSED_FAMS if f"/{f}-" in url
+            )
+            assert got[url][0] == _COMPRESSED_FAMS[fam], (url, got[url])
         elif r["media_type"] is not None:
             assert got[url][0] == r["media_type"], (url, got[url])
 
