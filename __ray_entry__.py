@@ -99,6 +99,42 @@ def _q_image_features(sf_dir: str):
     return image_feature_pipeline(ds, target_size=(16, 16)).sort("url")
 
 
+def _q_warc_media_tally(sf_dir: str):
+    """Common-Crawl-native ingest: corpus pages round-tripped through a
+    .warc.gz file (per-record gzip members, ISO 28500 framing) → read_warc
+    → extraction → media tally. Rows-only (parser semantics, not SQL)."""
+    import pyarrow.parquet as pq
+
+    from rika_ray import docgen
+    from rika_ray.pipelines.extraction import (
+        ExtractionConfig,
+        build_extraction_pipeline,
+        media_type_tally,
+    )
+    from rika_ray.sources.warc import read_warc
+
+    corpus = _corpus_path(sf_dir)
+    warc_path = os.path.join(corpus, "segment-00000.warc.gz")
+    if not os.path.exists(warc_path):
+        web = pq.read_table(f"{corpus}/web_pages.parquet")
+        recs = [
+            (
+                r["url"],
+                r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                r["html"],
+                "application/octet-stream",
+            )
+            for r in web.to_pylist()
+            if r["html"]
+        ]
+        tmp = f"{warc_path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(docgen.build_warc(recs, gzip_members=True))
+        os.replace(tmp, warc_path)
+    out = build_extraction_pipeline(read_warc([warc_path]), ExtractionConfig())
+    return media_type_tally(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rika_ray.pipelines import dedup, relational, similarity, text_analysis
 
@@ -109,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_full": _q_extract_full,
         "extract_media_tally": _q_extract_media_tally,
         "extract_error_tally": _q_extract_error_tally,
+        "warc_media_tally": _q_warc_media_tally,
         # --- relational operators (SQL-oracled) ---
         "source_tally": relational.source_tally,
         "lang_claim_tally": relational.lang_claim_tally,

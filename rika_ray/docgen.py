@@ -1070,3 +1070,69 @@ def build_pdf_encrypted(pages: list[list[str]]) -> bytes:
     out = data.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 90 0 R ", 1)
     assert out != data, "trailer marker not found"
     return out
+
+
+# ---------------------------------------------------------------------------
+# WARC files (Common-Crawl container; public ISO 28500 framing)
+# ---------------------------------------------------------------------------
+
+
+def build_warc(
+    records: list[tuple[str, str, bytes, str]],
+    gzip_members: bool = False,
+    include_noise_records: bool = True,
+) -> bytes:
+    """A deterministic WARC 1.1 file: one ``response`` record per
+    ``(url, iso_date, payload, http_content_type)`` tuple, each payload
+    wrapped in an HTTP/1.1 200 envelope. ``gzip_members=True`` emits the
+    standard ``.warc.gz`` layout (one gzip member per record).
+    ``include_noise_records`` interleaves warcinfo/request records that a
+    reader must skip."""
+    import gzip as _gz
+
+    def _record(rtype: str, headers: list[tuple[str, str]], body: bytes) -> bytes:
+        head = [b"WARC/1.1"]
+        head.append(f"WARC-Type: {rtype}".encode())
+        for k, v in headers:
+            head.append(f"{k}: {v}".encode())
+        head.append(f"Content-Length: {len(body)}".encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    chunks: list[bytes] = []
+    if include_noise_records:
+        chunks.append(
+            _record(
+                "warcinfo",
+                [("WARC-Date", "2026-01-01T00:00:00Z")],
+                b"software: rika-ray-docgen\r\n",
+            )
+        )
+    for i, (url, date, payload, ctype) in enumerate(records):
+        if include_noise_records:
+            chunks.append(
+                _record(
+                    "request",
+                    [("WARC-Target-URI", url), ("WARC-Date", date)],
+                    f"GET {url} HTTP/1.1\r\nHost: x\r\n\r\n".encode(),
+                )
+            )
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {ctype}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+        )
+        chunks.append(
+            _record(
+                "response",
+                [
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", date),
+                    ("WARC-Record-ID", f"<urn:uuid:{i:032x}>"),
+                ],
+                http,
+            )
+        )
+    if gzip_members:
+        return b"".join(_gz.compress(c, mtime=0) for c in chunks)
+    return b"".join(chunks)

@@ -199,22 +199,35 @@ def _bounded_training_sample(
     from rika_ray.pipelines.dedup import _mix64
 
     n = emb.count()
-    frac = min(sample_fraction, max_sample_rows / max(n, 1))
+    # gate wide enough (2×) that ≥ max_sample_rows rows pass w.h.p., then
+    # keep the max_sample_rows SMALLEST hash keys — a deterministic top-k.
+    # A bare .limit() after the gate picks rows by block-ARRIVAL order,
+    # which varies with scheduling under load.
+    frac = min(sample_fraction, 2.0 * max_sample_rows / max(n, 1))
     threshold = np.uint64(int(frac * float(2**64 - 1)))
     seed_u = np.uint64(seed)
 
     def _hash_gate(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = _mix64(ids ^ seed_u) <= threshold
-        return batch.filter(pa.array(keep))
+        key = _mix64(ids ^ seed_u)
+        keep = key <= threshold
+        out = batch.filter(pa.array(keep))
+        # int64 bit-view: uint64 > int63 degrades Ray's shuffle to pickled
+        # extension arrays (see dedup.py)
+        return out.append_column(
+            "_sk", pa.array(key[keep].view(np.int64), pa.int64())
+        )
 
     rows = (
         emb.map_batches(_hash_gate, batch_format="pyarrow")
+        .sort(["_sk", "vec_id"])  # sample-sized shuffle (~2×max rows)
         .limit(max_sample_rows)
         .take_all()
     )
     if not rows:
-        rows = emb.limit(max_sample_rows).take_all()
+        rows = emb.sort("vec_id").limit(max_sample_rows).take_all()
+    for r in rows:
+        r.pop("_sk", None)
     return rows
 
 
