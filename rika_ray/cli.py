@@ -146,11 +146,21 @@ def main(argv: list[str] | None = None) -> int:
         url_targets = [
             t for t in classification.targets if t.startswith(("http://", "https://"))
         ]
+        # crawl archives route through the WARC reader (one row per crawl
+        # record); every other file is one document
+        warc_targets = [
+            t for t in file_targets if t.endswith((".warc", ".warc.gz"))
+        ]
+        file_targets = [t for t in file_targets if t not in warc_targets]
         parts = []
         if file_targets:
             from rika_ray.sources.ingest import read_files_as_web_pages
 
             parts.append(read_files_as_web_pages(file_targets))
+        if warc_targets:
+            from rika_ray.sources.warc import read_warc
+
+            parts.append(read_warc(warc_targets))
         if url_targets:
             import ray.data as rd
 

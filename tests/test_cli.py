@@ -95,3 +95,37 @@ def test_max_content_length(doc_dir):
     res = _run_cli(["-f", "jj", "-l", "9", str(doc_dir / "one.txt")])
     assert res.returncode == 0
     assert json.loads(res.stdout.strip())["text"] == "The quick"
+
+
+def test_warc_target_routes_through_warc_reader(tmp_path):
+    from rika_ray import docgen
+
+    warc = tmp_path / "crawl-seg.warc.gz"
+    warc.write_bytes(
+        docgen.build_warc(
+            [
+                (
+                    "https://crawl.test/page-one",
+                    "2026-01-02T00:00:00Z",
+                    b"warc record body text, long enough to be a document.\n",
+                    "text/plain",
+                ),
+                (
+                    "https://crawl.test/page-two",
+                    "2026-01-02T00:00:01Z",
+                    b"second crawl record body.\n",
+                    "text/plain",
+                ),
+            ],
+            gzip_members=True,
+        )
+    )
+    res = _run_cli(["-f", "jj", "-a", str(warc)])
+    assert res.returncode == 0, res.stderr[-800:]
+    docs = json.loads(res.stdout)
+    # one crawl file → one document per WARC response record
+    assert {d["source"] for d in docs} == {
+        "https://crawl.test/page-one",
+        "https://crawl.test/page-two",
+    }
+    assert any("warc record body" in d["text"] for d in docs)
