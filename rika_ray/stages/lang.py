@@ -181,6 +181,34 @@ _SEED_TEXT = {
         "lămpile se aprind una câte una și străzile devin din nou "
         "liniștite."
     ),
+    "uk": (
+        "У місті ранки починаються зі звуку поїздів і повільного "
+        "відкриття маленьких крамниць уздовж головної вулиці. Люди "
+        "несуть хліб і газети, а повітря пахне дощем, що йшов уночі. "
+        "До полудня площі повні студентів і службовців, які обідають "
+        "на кам'яних сходах і розмовляють про новини дня. Коли настає "
+        "вечір, лампи запалюються одна за одною, і вулиці знову "
+        "стають тихими."
+    ),
+    "vi": (
+        "Trong thành phố, buổi sáng bắt đầu với tiếng tàu hỏa và "
+        "những cửa hàng nhỏ dọc theo con phố chính từ từ mở cửa. Mọi "
+        "người mang bánh mì và báo, không khí thơm mùi mưa đêm qua. "
+        "Đến trưa, các quảng trường đầy sinh viên và nhân viên văn "
+        "phòng ăn trưa trên bậc đá và nói về tin tức trong ngày. Khi "
+        "chiều tối đến, đèn được thắp lên từng chiếc một và đường phố "
+        "lại trở nên yên tĩnh."
+    ),
+    "id": (
+        "Di kota, pagi hari dimulai dengan suara kereta api dan "
+        "toko-toko kecil di sepanjang jalan utama yang perlahan "
+        "dibuka. Orang-orang membawa roti dan koran, dan udara berbau "
+        "hujan yang turun semalam. Menjelang siang, alun-alun penuh "
+        "dengan mahasiswa dan pegawai kantor yang makan siang di "
+        "tangga batu dan berbicara tentang berita hari itu. Ketika "
+        "malam tiba, lampu dinyalakan satu per satu dan jalan-jalan "
+        "kembali sunyi."
+    ),
 }
 
 # Function-word inventories for the languages without a corpus WORD_POOL —
@@ -214,12 +242,23 @@ _FUNCTION_WORDS = {
     "ro": "și de a în la cu pe care este o un pentru nu se mai din sau "
           "dar când ca după ce această acest sunt fost fi am ai are "
           "avem ei ele noi voi fără între despre până",
+    "uk": "і в на не що з до як це я ти він вона ми ви вони але або так "
+          "уже від для при між під над без через коли якщо тому бути "
+          "був була було є цей ця те того їх нас вам",
+    "vi": "và của là có không được một người trong cho với các những "
+          "này đó khi đã sẽ rồi cũng như để từ trên ra vào lại còn "
+          "nhưng nếu vì theo về sau trước nhiều rất",
+    "id": "yang dan di ke dari untuk dengan pada adalah ini itu tidak "
+          "ada akan sudah telah bisa dapat dalam atau tetapi jika "
+          "karena ketika kami kita mereka dia saya kamu juga oleh",
 }
 
-# Script-histogram shortcut: ja/zh/ko/ar are decided by Unicode script
-# dominance (vectorized), not trigrams — Han characters are shared between
-# Chinese and Japanese, so the kana/hangul/han split is the robust signal
-# (the same block-normalization real detectors apply before n-grams).
+# Script-histogram shortcut: ja/zh/ko/ar/el/he/th/hi are decided by Unicode
+# script dominance (vectorized), not trigrams — Han characters are shared
+# between Chinese and Japanese, so the kana/hangul/han split is the robust
+# signal, and for single-language scripts (Greek/Hebrew/Thai/Devanagari at
+# web scale) the histogram IS the answer (the same block-normalization real
+# detectors apply before n-grams).
 _SCRIPT_MIN_NONASCII = 8
 
 
@@ -245,6 +284,10 @@ def _script_shortcut(text: str) -> str | None:
         ((non_ascii >= 0x0600) & (non_ascii <= 0x06FF))
         | ((non_ascii >= 0x0750) & (non_ascii <= 0x077F))
     ).sum() / n
+    greek = ((non_ascii >= 0x0370) & (non_ascii <= 0x03FF)).sum() / n
+    hebrew = ((non_ascii >= 0x0590) & (non_ascii <= 0x05FF)).sum() / n
+    thai = ((non_ascii >= 0x0E00) & (non_ascii <= 0x0E7F)).sum() / n
+    devanagari = ((non_ascii >= 0x0900) & (non_ascii <= 0x097F)).sum() / n
     if hangul >= 0.3:
         return "ko"
     if kana >= 0.05 and kana + han >= 0.3:
@@ -253,6 +296,14 @@ def _script_shortcut(text: str) -> str | None:
         return "zh"
     if arabic >= 0.3:
         return "ar"
+    if greek >= 0.3:
+        return "el"
+    if hebrew >= 0.3:
+        return "he"
+    if thai >= 0.3:
+        return "th"
+    if devanagari >= 0.3:
+        return "hi"
     return None
 
 
@@ -355,8 +406,8 @@ class NBClassifier:
 # Certainty floor (reference: the Optimaize detector is certainty-
 # thresholded, lib/rika.rb:58-61). Calibrated on this model: in-model text
 # has a mean-log-prob margin ≥ 0.59 above the winner's unseen-gram floor;
-# out-of-model scripts (Greek, Hebrew, Thai, ...) hit the floor on every
-# trigram and score ≈ 0; random ASCII gibberish scores ≈ 0.06.
+# out-of-model scripts (Armenian, Georgian, Tamil, ...) hit the floor on
+# every trigram and score ≈ 0; random ASCII gibberish scores ≈ 0.06.
 MIN_MARGIN = 0.25
 
 

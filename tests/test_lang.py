@@ -74,6 +74,14 @@ def test_ten_language_breadth_on_novel_text():
         "ro": "Trenul a ajuns târziu în gară și călătorii așteptau cu "
               "biletele în mână, în timp ce ploaia cădea pe peronul de "
               "lemn.",
+        "uk": "Потяг прибув на станцію із запізненням, і пасажири чекали "
+              "з квитками в руках, поки дощ падав на дерев'яну "
+              "платформу.",
+        "vi": "Chuyến tàu đến ga muộn và hành khách chờ đợi với vé trên "
+              "tay trong khi mưa rơi xuống sân ga bằng gỗ.",
+        "id": "Kereta tiba terlambat di stasiun dan para penumpang "
+              "menunggu dengan tiket di tangan sementara hujan turun di "
+              "peron kayu.",
     }
     for expect, text in novel.items():
         assert detect_language(text, profiles) == expect, expect
@@ -89,6 +97,10 @@ def test_script_shortcut_languages():
         "zh": "这是中文文本。语言检测器应该检测出中文。城市的早晨从火车的声音开始。",
         "ko": "이것은 한국어 텍스트입니다. 언어 감지기는 이것을 한국어로 감지해야 합니다.",
         "ar": "هذا نص باللغة العربية ويجب أن يتعرف عليه كاشف اللغة بشكل صحيح تماما.",
+        "el": "Αυτό είναι ελληνικό κείμενο και ο ανιχνευτής γλώσσας πρέπει να το αναγνωρίσει σωστά.",
+        "he": "זהו טקסט בעברית וגלאי השפה צריך לזהות אותו נכון לחלוטין.",
+        "th": "นี่คือข้อความภาษาไทยและตัวตรวจจับภาษาควรตรวจพบอย่างถูกต้อง",
+        "hi": "यह हिंदी में लिखा गया पाठ है और भाषा संसूचक को इसे सही पहचानना चाहिए।",
     }
     for expect, text in cases.items():
         assert detect_language(text, profiles) == expect, expect
@@ -101,16 +113,16 @@ def test_script_shortcut_languages():
 
 
 def test_out_of_model_script_is_undetermined():
-    """Certainty floor: long in-length but out-of-model text (Greek,
-    Hebrew, Thai) must yield None, never a forced bin — reference
+    """Certainty floor: long in-length but out-of-model text (Armenian,
+    Georgian, Tamil) must yield None, never a forced bin — reference
     analogue: Optimaize's certainty threshold
     (/root/reference/lib/rika.rb:58-61). The margin-based floor is
     vocabulary-size invariant, so adding languages cannot re-bin these."""
     profiles = build_profiles()
     for text in (
-        "Αυτό είναι ελληνικό κείμενο και ο ανιχνευτής γλώσσας πρέπει να το θεωρήσει απροσδιόριστο.",
-        "זהו טקסט בעברית וגלאי השפה צריך להתייחס אליו כבלתי ניתן לקביעה לחלוטין.",
-        "นี่คือข้อความภาษาไทยและตัวตรวจจับภาษาควรถือว่าไม่สามารถระบุได้",
+        "Սա հայերեն տեքստ է, և լեզվի հայտնաբերիչը պետք է այն համարի անորոշ ամբողջությամբ։",
+        "ეს არის ქართული ტექსტი და ენის დეტექტორმა ის გაურკვევლად უნდა მიიჩნიოს სრულიად.",
+        "இது தமிழ் உரை மற்றும் மொழி கண்டறிதல் கருவி இதை தீர்மானிக்க முடியாததாக கருத வேண்டும்.",
         "xzq wvv kjq plm zzx qqw vnb mmx zoq trw ghk bnm",
     ):
         assert detect_language(text, profiles) is None, text[:20]
