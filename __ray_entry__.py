@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "supplier_revenue_by_nation": relational.supplier_revenue_by_nation,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
+        "shipping_priority": relational.shipping_priority,
+        "events_distinct_users": relational.events_distinct_users,
         "events_hourly": relational.events_hourly,
         "user_sessions": relational.user_sessions,
         "purchase_last_click": relational.purchase_last_click,
@@ -252,6 +254,23 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_by_quantity": (
             "SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem "
             "GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 10"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "o_orderdate "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

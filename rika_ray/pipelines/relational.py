@@ -330,6 +330,105 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H-Q3-shaped: customer ⨝ orders ⨝ lineitem → top-k undelivered
+    orders by revenue for one market segment.
+
+    Scale shape: the qualifying-orders side (segment-filtered customers ×
+    date-filtered orders) is reduced driver-side to ONE
+    ``{o_orderkey: o_orderdate}`` dict shipped via ``ray.put``; each
+    lineitem batch filters on shipdate, drops non-qualifying orderkeys, and
+    emits in-batch partial revenue sums — the shuffle moves partials per
+    (batch × qualifying order), never lineitem rows. Partitioning
+    assumption (documented like supplier_revenue_by_nation): the
+    date+segment-selective order set fits worker memory; beyond that, swap
+    the broadcast for a key-bucketed shuffle join on l_orderkey."""
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = set(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist()
+    )
+    orders = _rp(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    qual = orders[
+        (orders["o_orderdate"] < cutoff_ts)
+        & orders["o_custkey"].isin(seg_keys)
+    ]
+    order_dates = dict(zip(qual["o_orderkey"], qual["o_orderdate"]))
+    lookup_ref = ray.put(order_dates)
+
+    class RevenuePartial:
+        def __init__(self):
+            self.dates = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[
+                (batch["l_shipdate"] > cutoff_ts)
+                & batch["l_orderkey"].isin(self.dates.keys())
+            ]
+            revenue = b["l_extendedprice"].to_numpy() * (
+                1.0 - b["l_discount"].to_numpy()
+            )
+            return (
+                pd.DataFrame(
+                    {"l_orderkey": b["l_orderkey"], "revenue": revenue}
+                )
+                .groupby("l_orderkey", as_index=False, sort=False)["revenue"]
+                .sum()
+            )
+
+    agg = (
+        _rp(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(RevenuePartial, batch_format="pandas", batch_size=65536,
+                     concurrency=pool_spec(), num_cpus=0.5)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def _attach_date(batch: pd.DataFrame) -> pd.DataFrame:
+        dates = ray.get(lookup_ref)
+        batch["revenue"] = batch["revenue"].round(2)
+        batch["o_orderdate"] = batch["l_orderkey"].map(dates)
+        return batch
+
+    return (
+        agg.map_batches(_attach_date, batch_format="pandas")
+        .sort([("revenue"), ("l_orderkey")], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """COUNT(DISTINCT user_id) per event_type — the canonical distributed
+    distinct-aggregate: in-batch pair dedupe (cheap, bounds the shuffle) →
+    hash-shuffle dedupe on the (event_type, user_id) pair → count per
+    event_type (pair-count-sized input, trivially small)."""
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    return (
+        _rp(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(_pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: tumbling-window aggregate (streaming-shaped; SURVEY.md §2.10 —
 # expressed as GROUP BY date_trunc in both engines)
