@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 13
+CORPUS_VERSION = 14
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -374,6 +374,28 @@ def generate_corpus(
                 "비는 밤사이에 내렸습니다.",
             ],
             "기사 번호 {k}.\n",
+        ),
+        (
+            "plain-eucjp", "euc_jp", "EUC-JP", "ja",
+            [
+                "朝の駅は電車の音で始まります。",
+                "人々はパンと新聞を持って歩きます。",
+                "昼には広場が学生でいっぱいになります。",
+                "夜になると街はまた静かになります。",
+                "雨は夜のあいだに降りました。",
+            ],
+            "記事番号 {k}。\n",
+        ),
+        (
+            "plain-iso2022jp", "iso2022_jp", "ISO-2022-JP", "ja",
+            [
+                "朝の駅は電車の音で始まります。",
+                "人々はパンと新聞を持って歩きます。",
+                "昼には広場が学生でいっぱいになります。",
+                "夜になると街はまた静かになります。",
+                "雨は夜のあいだに降りました。",
+            ],
+            "記事番号 {k}。\n",
         ),
     ]
     for fam, codec, cs_name, lang_code, sentences, tail_fmt in _CJK_FAMILIES:

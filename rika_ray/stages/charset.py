@@ -34,6 +34,8 @@ SHIFT_JIS = "Shift_JIS"
 GB18030 = "GB18030"
 BIG5 = "Big5"
 EUCKR = "EUC-KR"
+EUCJP = "EUC-JP"
+ISO2022JP = "ISO-2022-JP"
 
 _CODEC = {
     UTF16LE: "utf-16-le",
@@ -47,6 +49,8 @@ _CODEC = {
     GB18030: "gb18030",
     BIG5: "big5",
     EUCKR: "euc_kr",
+    EUCJP: "euc_jp",
+    ISO2022JP: "iso2022_jp",
 }
 
 # The seven most frequent Russian letters cover >40% of running text; their
@@ -212,6 +216,17 @@ _KO_COMMON = (
     "말만사람중또같습니까게네와과라서면으며부터처럼보다안된해였습니다였"
     "거주요즘좀잘못더많거의"
 )
+# Japanese running text is kana-dominated (all of hiragana + common
+# katakana) plus the most frequent kanji — kana membership is the cleanly
+# separating signal vs the Chinese tables above.
+_JA_COMMON = (
+    "あいうえおかきくけこさしすせそたちつてとなにぬねのはひふへほまみむめ"
+    "もやゆよらりるれろわをんがぎぐげござじずぜぞだぢづでどばびぶべぼぱぴ"
+    "ぷぺぽゃゅょっアイウエオカキクケコサシスセソタチツテトナニヌネノハヒ"
+    "フヘホマミムメモヤユヨラリルレロワヲンガギグゲゴザジズゼゾダヂヅデド"
+    "バビブベボパピプペポャュョッー"
+    "日本人年月時大中国出生子分上下前後間東京語学会社行見言事思手新聞電車"
+)
 
 
 def _codepoints(s: str):
@@ -232,6 +247,7 @@ def _cjk_tables():
             "gb18030": np.unique(_codepoints(_ZH_SIMP_COMMON)),
             "big5": np.unique(_codepoints(_ZH_TRAD_COMMON)),
             "euc_kr": np.unique(_codepoints(_KO_COMMON)),
+            "euc_jp": np.unique(_codepoints(_JA_COMMON)),
         }
     return _CJK_T
 
@@ -263,10 +279,12 @@ def _detect_cjk_mb(sample: bytes) -> str | None:
     win = sample[:2048]
     truncated = len(sample) > 2048
     best_name, best_ratio = None, 0.0
-    for codec, name, script_lo, script_hi in (
-        ("euc_kr", EUCKR, 0xAC00, 0xD7A3),  # Hangul syllables
-        ("gb18030", GB18030, 0x4E00, 0x9FFF),  # Han
-        ("big5", BIG5, 0x4E00, 0x9FFF),  # Han
+    for codec, name, ranges in (
+        ("euc_kr", EUCKR, ((0xAC00, 0xD7A3),)),  # Hangul syllables
+        ("gb18030", GB18030, ((0x4E00, 0x9FFF),)),  # Han
+        ("big5", BIG5, ((0x4E00, 0x9FFF),)),  # Han
+        # kana OR Han: Japanese running text mixes both scripts
+        ("euc_jp", EUCJP, ((0x3040, 0x30FF), (0x4E00, 0x9FFF))),
     ):
         decoded = _strict_decode_window(win, codec, truncated)
         if not decoded:
@@ -275,9 +293,9 @@ def _detect_cjk_mb(sample: bytes) -> str | None:
         non_ascii = cp[cp >= 0x80]
         if non_ascii.size == 0:
             continue
-        script = ((non_ascii >= script_lo) & (non_ascii <= script_hi)) | (
-            (non_ascii >= 0x3000) & (non_ascii <= 0x303F)  # CJK punct
-        )
+        script = (non_ascii >= 0x3000) & (non_ascii <= 0x303F)  # CJK punct
+        for lo, hi in ranges:
+            script |= (non_ascii >= lo) & (non_ascii <= hi)
         if float(script.mean()) < 0.5:
             continue
         ratio = float(np.isin(non_ascii, _cjk_tables()[codec]).mean())
@@ -293,6 +311,15 @@ def detect_charset(data: bytes) -> str:
         return UTF16BE
     if data.startswith(b"\xef\xbb\xbf"):
         return UTF8
+    # ISO-2022-JP is pure 7-bit (it would pass the UTF-8 strict decode), so
+    # its JIS X 0208 shift-in escapes are checked FIRST — the sequences
+    # ESC $ B / ESC $ @ never occur in real UTF-8/ASCII text
+    if (b"\x1b$B" in data[:8192] or b"\x1b$@" in data[:8192]):
+        decoded = _strict_decode_window(
+            data[:2048], "iso2022_jp", len(data) > 2048
+        )
+        if decoded:
+            return ISO2022JP
     try:
         data.decode("utf-8", errors="strict")
         return UTF8

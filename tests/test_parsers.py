@@ -321,6 +321,30 @@ def test_cjk_multibyte_charset_detection():
     assert detect_charset(ja.encode("shift_jis")) == "Shift_JIS"
 
 
+def test_japanese_eucjp_and_iso2022jp():
+    """M2 breadth: EUC-JP joins the GR-plane candidates (kana membership
+    separates it from GB/Big5/EUC-KR); ISO-2022-JP is pure 7-bit — it
+    must be caught by its JIS shift-in escapes BEFORE the UTF-8 pass."""
+    from rika_ray.stages.charset import decode_text, detect_charset
+
+    ja = (
+        "これは日本語のテキストです。東京都内の鉄道網は世界有数の規模を"
+        "誇り、毎日数百万人が利用しています。言語と文字コードの検出。"
+    )
+    for codec, expected in (("euc_jp", "EUC-JP"), ("iso2022_jp", "ISO-2022-JP")):
+        data = ja.encode(codec)
+        assert detect_charset(data) == expected, codec
+        decoded, cs = decode_text(data)
+        assert decoded == ja and cs == expected
+    # mixed ASCII markup around the payload
+    mixed = ("<title>news</title> " + ja + " http://example.jp").encode("euc_jp")
+    assert detect_charset(mixed) == "EUC-JP"
+    # a plain-ASCII file containing a bare ESC is NOT ISO-2022-JP
+    assert detect_charset(b"plain text with \x1b escape inside") != "ISO-2022-JP"
+    # ESC $ B requires a valid JIS stream — garbage after it must not match
+    assert detect_charset(b"x\x1b$B\xff\xff garbage") != "ISO-2022-JP"
+
+
 def test_cjk_charset_window_truncation():
     """A multi-byte unit cut by the 2 KiB detection window must not
     reject the candidate; a corrupt unit mid-stream must."""
