@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue_by_nation": relational.supplier_revenue_by_nation,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
         "shipping_priority": relational.shipping_priority,
+        "returned_items": relational.returned_items,
+        "orders_value_class_tally": relational.orders_value_class_tally,
+        "part_type_stats": relational.part_type_stats,
         "events_distinct_users": relational.events_distinct_users,
         "events_hourly": relational.events_hourly,
         "user_sessions": relational.user_sessions,
@@ -267,6 +270,28 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "returned_items": (
+            "SELECT c_custkey, c_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "orders_value_class_tally": (
+            "SELECT o_orderpriority, "
+            "SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS n_high, "
+            "SUM(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS n_low "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "part_type_stats": (
+            "SELECT p_type, COUNT(*) AS n, "
+            "ROUND(SUM(p_retailprice) / COUNT(*), 2) AS avg_price, "
+            "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
+            "FROM part GROUP BY p_type ORDER BY p_type"
         ),
         "events_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "

@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 14
+CORPUS_VERSION = 15
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -1070,6 +1070,265 @@ def generate_corpus(
         language=None,
         extra_metadata={"Image Height": "16 pixels", "Image Width": "32 pixels"},
     )
+
+    # --- csv / tsv: delimiter-consistency content sniff (Tika
+    # TextAndCSVParser analogue); content passes through, table shape in
+    # metadata. Cells are comma/tab-free by construction.
+    for delim, media, dname, fam in (
+        (",", "text/csv", "comma", "csv"),
+        ("\t", "text/tab-separated-values", "tab", "tsv"),
+    ):
+        for k in range(max(2, n_per_family)):
+            rows = [["id", "name", "notes"]]
+            for r in range(5 + (k % 3)):
+                name_w = " ".join(
+                    rng.choice(WORD_POOL["en"]) for _ in range(2)
+                )
+                notes_w = " ".join(
+                    rng.choice(WORD_POOL["en"]) for _ in range(7)
+                )
+                rows.append([str(100 + r), name_w, notes_w])
+            text = "\n".join(delim.join(cells) for cells in rows) + "\n"
+            b.add(
+                fam,
+                text.encode("utf-8"),
+                content=text,
+                content_type=f"{media}; charset=UTF-8",
+                media_type=media,
+                charset="UTF-8",
+                language="en",
+                extra_metadata={
+                    "Content-Encoding": "UTF-8",
+                    "csv:delimiter": dname,
+                    "csv:num-rows": str(len(rows)),
+                    "csv:num-columns": "3",
+                },
+            )
+
+    # --- csv name hint: too few lines for the content sniff — the .csv
+    # resource name refines text/plain (Tika DefaultDetector name+magic
+    # composition; the name only ever refines WITHIN the text supertype)
+    hint_text = "id,name\n1,alpha\n"
+    b.add(
+        "csv-hint",
+        hint_text.encode("utf-8"),
+        content=hint_text,
+        content_type="text/csv; charset=UTF-8",
+        media_type="text/csv",
+        charset="UTF-8",
+        language=None,  # too short to determine
+        extra_metadata={
+            "Content-Encoding": "UTF-8",
+            "csv:delimiter": "comma",
+            "csv:num-rows": "2",
+            "csv:num-columns": "2",
+        },
+        url="https://fixtures.test/csv-hint/table.csv",
+    )
+
+    # --- json / ndjson: brace-led structural sniff; content passes
+    # through (Tika has no structural JSON parser), validity + shape in
+    # metadata
+    import json as _json
+
+    for k in range(max(2, n_per_family)):
+        obj = {
+            "title": rng.choice(ARTICLE_TOPICS),
+            "body": _paragraph(rng, WORD_POOL["en"], 2),
+            "tags": [rng.choice(WORD_POOL["en"]) for _ in range(2)],
+            "views": 10 + k,
+        }
+        text = _json.dumps(obj, indent=2) + "\n"
+        b.add(
+            "json",
+            text.encode("utf-8"),
+            content=text,
+            content_type="application/json; charset=UTF-8",
+            media_type="application/json",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "json:valid": "true",
+                "json:num-keys": "4",
+            },
+        )
+    for k in range(max(2, n_per_family)):
+        n_rec = 4 + (k % 2)
+        lines = [
+            _json.dumps(
+                {"id": i, "text": _sentence(rng, WORD_POOL["en"], 9)}
+            )
+            for i in range(n_rec)
+        ]
+        text = "\n".join(lines) + "\n"
+        b.add(
+            "ndjson",
+            text.encode("utf-8"),
+            content=text,
+            content_type="application/x-ndjson; charset=UTF-8",
+            media_type="application/x-ndjson",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "ndjson:num-lines": str(n_rec),
+                "ndjson:num-records": str(n_rec),
+            },
+        )
+
+    # --- markdown: heading-led sniff; headings/bullets/emphasis/links
+    # strip to plain text, first heading → dc:title
+    for _ in range(max(2, n_per_family)):
+        title = rng.choice(ARTICLE_TOPICS)
+        p1 = _paragraph(rng, WORD_POOL["en"], 2)
+        p2 = _sentence(rng, WORD_POOL["en"], 10)
+        li1 = _sentence(rng, WORD_POOL["en"], 6)
+        li2 = _sentence(rng, WORD_POOL["en"], 6)
+        md = (
+            f"# {title}\n\n{p1}\n\n## Details\n\n- {li1}\n- {li2}\n\n"
+            f"**Summary** {p2} See [docs](https://example.test/docs) "
+            f"and `code`.\n"
+        )
+        expected = (
+            f"{title}\n\n{p1}\n\nDetails\n\n{li1}\n{li2}\n\n"
+            f"Summary {p2} See docs and code.\n"
+        )
+        b.add(
+            "markdown",
+            md.encode("utf-8"),
+            content=expected,
+            content_type="text/markdown; charset=UTF-8",
+            media_type="text/markdown",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "md:num-headings": "2",
+                "dc:title": title,
+            },
+        )
+
+    # --- svg: XML-root sniff → image/svg+xml; content is the readable
+    # text (title/desc/text with tspans flattened), dimensions in metadata
+    for _ in range(max(2, n_per_family)):
+        t_title = rng.choice(ARTICLE_TOPICS)
+        desc = _sentence(rng, WORD_POOL["en"], 10)
+        lbl = _sentence(rng, WORD_POOL["en"], 8)
+        w1 = rng.choice(WORD_POOL["en"]).capitalize()
+        w2 = rng.choice(WORD_POOL["en"])
+        esc = docgen._xml_escape
+        svg = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<svg xmlns="http://www.w3.org/2000/svg" width="320" height="200">\n'
+            f"  <title>{esc(t_title)}</title>\n"
+            f"  <desc>{esc(desc)}</desc>\n"
+            f'  <text x="10" y="20">{esc(lbl)}</text>\n'
+            f'  <text x="10" y="40"><tspan>{esc(w1)}</tspan> '
+            f"<tspan>{esc(w2)}</tspan></text>\n"
+            "</svg>\n"
+        )
+        b.add(
+            "svg",
+            svg.encode("utf-8"),
+            content="\n".join([t_title, desc, lbl, f"{w1} {w2}"]) + "\n",
+            content_type="image/svg+xml",
+            media_type="image/svg+xml",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:title": t_title,
+                "svg:width": "320",
+                "svg:height": "200",
+            },
+        )
+
+    # --- rss / atom feeds: XML-root sniff; content is feed title +
+    # description then per-entry title + description/summary
+    for _ in range(max(2, n_per_family)):
+        ch_title = rng.choice(ARTICLE_TOPICS) + " Feed"
+        ch_desc = _sentence(rng, WORD_POOL["en"], 8)
+        items = [
+            (
+                _sentence(rng, WORD_POOL["en"], 5),
+                _sentence(rng, WORD_POOL["en"], 12),
+            )
+            for _ in range(3)
+        ]
+        esc = docgen._xml_escape
+        rss = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<rss version="2.0">\n<channel>\n'
+            f"<title>{esc(ch_title)}</title>\n"
+            f"<description>{esc(ch_desc)}</description>\n"
+            + "".join(
+                f"<item><title>{esc(t)}</title>"
+                f"<description>{esc(d)}</description></item>\n"
+                for t, d in items
+            )
+            + "</channel>\n</rss>\n"
+        )
+        content = (
+            "\n".join(
+                [ch_title, ch_desc] + [x for t, d in items for x in (t, d)]
+            )
+            + "\n"
+        )
+        b.add(
+            "rss",
+            rss.encode("utf-8"),
+            content=content,
+            content_type="application/rss+xml",
+            media_type="application/rss+xml",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:title": ch_title,
+                "feed:num-entries": "3",
+            },
+        )
+    for _ in range(max(2, n_per_family)):
+        f_title = rng.choice(ARTICLE_TOPICS) + " Updates"
+        f_sub = _sentence(rng, WORD_POOL["en"], 8)
+        entries = [
+            (
+                _sentence(rng, WORD_POOL["en"], 5),
+                _sentence(rng, WORD_POOL["en"], 12),
+            )
+            for _ in range(2)
+        ]
+        esc = docgen._xml_escape
+        atom = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+            f"<title>{esc(f_title)}</title>\n"
+            f"<subtitle>{esc(f_sub)}</subtitle>\n"
+            + "".join(
+                f"<entry><title>{esc(t)}</title>"
+                f"<summary>{esc(s)}</summary></entry>\n"
+                for t, s in entries
+            )
+            + "</feed>\n"
+        )
+        content = (
+            "\n".join(
+                [f_title, f_sub] + [x for t, s in entries for x in (t, s)]
+            )
+            + "\n"
+        )
+        b.add(
+            "atom",
+            atom.encode("utf-8"),
+            content=content,
+            content_type="application/atom+xml",
+            media_type="application/atom+xml",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:title": f_title,
+                "feed:num-entries": "2",
+            },
+        )
 
     # --- unknown binary → application/octet-stream, empty content
     # (same role as spec/fixtures/unknown.bin, bytes 00 00 30 39)

@@ -206,8 +206,13 @@ def image_feature_pipeline(
         # a multi-MB payload to Python bytes just to read its magic
         prefixes = pc.binary_slice(batch["html"], 0, 2048).to_pylist()
         suffixes = pc.binary_slice(batch["html"], -4096, None).to_pylist()
+        # raster types only: SVG is image/* but vector — it has no pixel
+        # grid to decode/resize and is extracted as text by the extraction
+        # pipeline instead
         keep = [
-            bool(p) and sniff_bytes(p, s).startswith("image/")
+            bool(p)
+            and (m := sniff_bytes(p, s)).startswith("image/")
+            and m != "image/svg+xml"
             for p, s in zip(prefixes, suffixes)
         ]
         return batch.filter(pa.array(keep, pa.bool_()))

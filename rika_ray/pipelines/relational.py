@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from rika_ray.functions.text import tokenize, tokenize_arrow
 from rika_ray.pool import pool_spec
@@ -650,3 +650,200 @@ def domain_cap_sample(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .map_groups(_cap_part, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed hash joins (§2.4 at scale): when BOTH sides are too large to
+# broadcast, ``Dataset.join`` hash-partitions both inputs on the key so each
+# partition joins locally — the shuffle-join complement to the ray.put
+# broadcast pattern above.
+# ---------------------------------------------------------------------------
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count: ~1 per cluster CPU (each partition join
+    is single-threaded), floor 4 so small clusters still overlap join work
+    with the shuffle."""
+    from rika_ray.pool import cluster_cpus
+
+    return max(4, cluster_cpus())
+
+
+def returned_items(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Revenue per customer over RETURNED items (TPC-H Q10 shape):
+    lineitem ⨝ orders ⨝ customer with both joins as distributed HASH
+    joins — neither orders nor customer is broadcast.
+
+    Scale shape: lineitem is filtered and pre-aggregated to one row per
+    orderkey BEFORE the first join (the join inputs are
+    result-cardinality, never lineitem-cardinality); the second join
+    input is one row per customer. Doubles rounded to 2dp in both
+    engines."""
+    npart = _join_partitions()
+
+    li = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).filter(expr="l_returnflag == 'R'")
+
+    def _rev_per_order(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "revenue": g["rev_sum"]}
+        )
+
+    li_agg = (
+        li.map_batches(_rev_per_order, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    per_order = li_agg.join(
+        orders, "inner", num_partitions=npart,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _rev_per_cust(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([("revenue", "sum")])
+        return pa.table(
+            {"o_custkey": g["o_custkey"], "revenue": g["revenue_sum"]}
+        )
+
+    cust_rev = (
+        per_order.map_batches(
+            _rev_per_cust, batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust_rev.join(
+        cust, "inner", num_partitions=npart,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def _project(batch: pa.Table) -> pa.Table:
+        # the join coalesces the key pair under the LEFT name — restore the
+        # oracle's customer-side name
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": batch["c_name"],
+                "revenue": pc.round(batch["revenue"], 2),
+            }
+        )
+
+    return (
+        joined.map_batches(_project, batch_format="pyarrow")
+        .sort([("revenue"), ("c_custkey")], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (CASE WHEN ... inside SUM — TPC-H Q12 shape)
+# and multi-statistic aggregation (AVG / MIN / MAX per group)
+# ---------------------------------------------------------------------------
+
+
+def orders_value_class_tally(
+    sf_dir: str, threshold: float = 150000.0
+) -> ray.data.Dataset:
+    """Per order priority, how many orders are above/below a total-price
+    threshold — the conditional-aggregate (CASE WHEN) pattern, computed as
+    vectorized bool→int partial sums per batch."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.greater(batch["o_totalprice"], pa.scalar(threshold)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_high": hi,
+                "n_low": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("n_high", "sum"), ("n_low", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_high": g["n_high_sum"],
+                "n_low": g["n_low_sum"],
+            }
+        )
+
+    return (
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_high", alias_name="n_high"),
+            Sum("n_low", alias_name="n_low"),
+        )
+        .sort("o_orderpriority")
+    )
+
+
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per part type: count, mean retail price, min/max size — the
+    multi-statistic aggregate shape. AVG is computed from (sum, count)
+    partials so the combine stays exact under re-partitioning; doubles
+    rounded to 2dp in both engines."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_type"]).aggregate(
+            [
+                ("p_retailprice", "sum"),
+                ("p_retailprice", "count"),
+                ("p_size", "min"),
+                ("p_size", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "p_type": g["p_type"],
+                "price_sum": g["p_retailprice_sum"],
+                "n": g["p_retailprice_count"].cast(pa.int64()),
+                "min_size": g["p_size_min"],
+                "max_size": g["p_size_max"],
+            }
+        )
+
+    ds = (
+        _rp(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("p_type")
+        .aggregate(
+            Sum("price_sum", alias_name="price_sum"),
+            Sum("n", alias_name="n"),
+            Min("min_size", alias_name="min_size"),
+            Max("max_size", alias_name="max_size"),
+        )
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_type": batch["p_type"],
+                "n": batch["n"],
+                "avg_price": pc.round(
+                    pc.divide(batch["price_sum"], pc.cast(batch["n"], pa.float64())), 2
+                ),
+                "min_size": batch["min_size"],
+                "max_size": batch["max_size"],
+            }
+        )
+
+    return ds.map_batches(_finish, batch_format="pyarrow").sort("p_type")

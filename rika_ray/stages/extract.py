@@ -43,6 +43,14 @@ from rika_ray.stages.office import (
 from rika_ray.stages.archive import iter_tar_entries, iter_zip_entries
 from rika_ray.stages.pdf_extract import PdfEncryptedError, extract_pdf
 from rika_ray.stages.rtf import extract_rtf
+from rika_ray.stages.textual import (
+    extract_csv,
+    extract_feed,
+    extract_json,
+    extract_markdown,
+    extract_ndjson,
+    extract_svg,
+)
 
 MSWORD = "application/msword"
 
@@ -98,6 +106,14 @@ class ExtractStage:
                 f"application/vnd.oasis.opendocument.{kind}": self._do_odt
                 for kind in ("text", "spreadsheet", "presentation")
             },
+            sniff_mod.CSV: self._do_csv,
+            sniff_mod.TSV: self._do_csv,
+            sniff_mod.JSON: self._do_json,
+            sniff_mod.NDJSON: self._do_ndjson,
+            sniff_mod.MARKDOWN: self._do_markdown,
+            sniff_mod.SVG: self._do_svg,
+            sniff_mod.RSS: self._do_feed,
+            sniff_mod.ATOM: self._do_feed,
             **{m: self._do_text for m in _TEXTUAL},
             **{m: self._do_image for m in _IMAGES},
         }
@@ -112,6 +128,43 @@ class ExtractStage:
         content, spans, meta = extract_html(text)
         meta["Content-Encoding"] = cs
         return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_csv(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        delim = "\t" if media == sniff_mod.TSV else ","
+        content, spans, meta = extract_csv(text, delim)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_json(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_json(text)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_ndjson(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_ndjson(text)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_markdown(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_markdown(text)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_svg(self, data: bytes, media: str):
+        # XML self-describes its encoding: parse the BYTES (expat honors
+        # the declaration); the charset column stays None like the raster
+        # image kernels — SVG is image/*, not text/*
+        content, spans, meta = extract_svg(data)
+        return content, media, None, spans, meta
+
+    def _do_feed(self, data: bytes, media: str):
+        kind = "atom" if media == sniff_mod.ATOM else "rss"
+        content, spans, meta = extract_feed(data, kind)
+        return content, media, None, spans, meta
 
     def _do_pdf(self, data: bytes, media: str):
         content, spans, meta = extract_pdf(data)

@@ -17,6 +17,8 @@ reinterpretation of the reference's empty-file pre-filter
 
 from __future__ import annotations
 
+import re as _re
+
 import pyarrow as pa
 
 # Media types (detection targets). OOXML subtypes distinguished by member
@@ -48,6 +50,14 @@ XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
 XML = "application/xml"
+SVG = "image/svg+xml"
+RSS = "application/rss+xml"
+ATOM = "application/atom+xml"
+CSV = "text/csv"
+TSV = "text/tab-separated-values"
+JSON = "application/json"
+NDJSON = "application/x-ndjson"
+MARKDOWN = "text/markdown"
 PLAIN = "text/plain"
 OCTET = "application/octet-stream"
 
@@ -64,6 +74,97 @@ _HTML_MARKERS = (
 
 _SNIFF_PREFIX = 2048
 _SNIFF_SUFFIX = 4096  # ZIP central directory lives at the end
+
+# Resource-name hints refine ONLY within the text supertype (a name never
+# overrides magic): the scale analogue of Tika's DefaultDetector combining
+# the resource-name glob with content magic — CSV/TSV/Markdown have no
+# magic bytes, so Tika itself leans on the name for them.
+_NAME_HINTS = {
+    ".csv": CSV,
+    ".tsv": TSV,
+    ".md": MARKDOWN,
+    ".markdown": MARKDOWN,
+    ".json": JSON,
+    ".ndjson": NDJSON,
+    ".jsonl": NDJSON,
+}
+
+_XML_ROOT_RE = _re.compile(rb"<([a-zA-Z][a-zA-Z0-9_.-]*)")
+_JSON_OBJ_RE = _re.compile(rb'\{\s*"')
+_JSON_ARR_RE = _re.compile(rb'\[\s*(?:[\{\["0-9-]|true|false|null)')
+
+
+def _xml_subtype(lowered: bytes) -> str:
+    """XML payload → specific type from the ROOT element: svg / rss / atom
+    feed, else generic. The declaration (``<?``), comments (``<!--``) and
+    doctype (``<!``) never match ``<letter``, so the first match IS the
+    root element."""
+    m = _XML_ROOT_RE.search(lowered)
+    if m is None:
+        return XML
+    root = m.group(1)
+    if root == b"svg":
+        return SVG
+    if root == b"rss":
+        return RSS
+    if root == b"feed":
+        return ATOM
+    return XML
+
+
+def _textual_subtype(scan: bytes) -> str | None:
+    """Structured-text detection within the text supertype: JSON / NDJSON
+    (brace-led with a string key), Markdown (heading-led with a second
+    block signal), CSV / TSV (Tika TextAndCSVParser-style delimiter
+    consistency across the first complete lines)."""
+    s = scan.lstrip()
+    if s[:1] == b"{":
+        # NDJSON: every complete line is a brace-delimited object
+        lines = [ln.strip() for ln in s.split(b"\n")[:-1]]
+        lines = [ln for ln in lines if ln][:10]
+        if len(lines) >= 2 and all(
+            ln.startswith(b"{") and ln.endswith(b"}") for ln in lines
+        ):
+            return NDJSON
+        if _JSON_OBJ_RE.match(s):
+            return JSON
+        return None
+    if s[:1] == b"[":
+        return JSON if _JSON_ARR_RE.match(s) else None
+    # Markdown: a leading ATX heading plus a second block-level signal
+    # (another heading, a list, or strong emphasis) — one signal alone
+    # would misfile hash-commented plain text
+    if s.startswith(b"# "):
+        body = s.split(b"\n", 1)[1] if b"\n" in s else b""
+        if (
+            b"\n# " in body
+            or b"\n## " in body
+            or b"\n- " in body
+            or b"\n* " in body
+            or b"**" in body
+        ):
+            return MARKDOWN
+    # CSV / TSV: >=3 complete lines with an identical, nonzero delimiter
+    # count per line (tab checked first: tabs are rarer in prose)
+    lines = scan.split(b"\n")[:-1][:10]  # drop the possibly-truncated tail
+    lines = [ln for ln in lines if ln.strip()]
+    if len(lines) >= 3:
+        for delim, mt in ((b"\t", TSV), (b",", CSV)):
+            c0 = lines[0].count(delim)
+            if c0 >= 1 and all(ln.count(delim) == c0 for ln in lines):
+                return mt
+    return None
+
+
+def refine_by_name(media: str, url: str | None) -> str:
+    """Resource-name refinement within text/plain only (magic wins)."""
+    if media != PLAIN or not url:
+        return media
+    path = url.split("?", 1)[0].split("#", 1)[0]
+    dot = path.rfind(".")
+    if dot == -1 or "/" in path[dot:]:
+        return media
+    return _NAME_HINTS.get(path[dot:].lower(), media)
 
 
 def _zip_member_names(zone: bytes) -> list[bytes]:
@@ -212,10 +313,17 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         scan = scan[3:]
     lowered = scan[:1024].lower().lstrip()
     if lowered.startswith(b"<?xml"):
-        return HTML if b"<html" in lowered else XML
+        return HTML if b"<html" in lowered else _xml_subtype(lowered)
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker):
             return HTML
+    # bare XML roots without a declaration
+    if lowered.startswith(b"<svg"):
+        return SVG
+    if lowered.startswith(b"<rss"):
+        return RSS
+    if lowered.startswith(b"<feed"):
+        return ATOM
     if any(m in lowered for m in (b"<html", b"<head", b"<body")):
         return HTML
     # text-vs-binary heuristic: NUL bytes or a high ratio of control
@@ -225,7 +333,7 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
     n_ctrl = sum(1 for c in prefix if c < 0x20 and c not in (9, 10, 13))
     if prefix and n_ctrl / len(prefix) > 0.10:
         return OCTET
-    return PLAIN
+    return _textual_subtype(scan) or PLAIN
 
 
 def detect_content_type(batch: pa.Table, detector=None) -> pa.Table:
@@ -249,6 +357,9 @@ def detect_content_type(batch: pa.Table, detector=None) -> pa.Table:
     # are materialized as Python bytes, never the (possibly multi-MB) doc
     prefixes = pc.binary_slice(html_col, 0, _SNIFF_PREFIX).to_pylist()
     suffixes = pc.binary_slice(html_col, -_SNIFF_SUFFIX, None).to_pylist()
+    urls = (
+        batch["url"].to_pylist() if "url" in batch.column_names else [None] * n
+    )
     for i in range(n):
         prefix = prefixes[i]
         if prefix is None or len(prefix) == 0:
@@ -261,7 +372,9 @@ def detect_content_type(batch: pa.Table, detector=None) -> pa.Table:
                 detected = detector(html_col[i].as_py())
             except Exception:
                 detected = None
-        media[i] = detected or sniff_bytes(prefix, suffixes[i])
+        media[i] = detected or refine_by_name(
+            sniff_bytes(prefix, suffixes[i]), urls[i]
+        )
     return (
         batch.append_column("media_type", pa.array(media, pa.string()))
         .append_column("error_type", pa.array(err_t, pa.string()))

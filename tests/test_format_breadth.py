@@ -512,3 +512,144 @@ def test_7z_rar_zstd_detected_as_opaque_containers():
 def test_text_starting_bzh_stays_plain():
     payload = b"BZh9 is the bzip2 best-compression flag, says this text."
     assert sniff.sniff_bytes(payload[:2048], payload[-4096:]) == sniff.PLAIN
+
+
+# --- textual web formats: CSV/TSV, JSON/NDJSON, Markdown, SVG, feeds ----
+
+
+def test_csv_tsv_delimiter_consistency_sniff():
+    assert sniff.sniff_bytes(b"a,b,c\n1,2,3\n4,5,6\n7,8,9\n") == sniff.CSV
+    assert sniff.sniff_bytes(b"a\tb\n1\t2\n3\t4\n") == sniff.TSV
+    # inconsistent counts or zero delimiters stay plain
+    assert sniff.sniff_bytes(b"one, two\nthree\nfour five\n") == sniff.PLAIN
+    assert sniff.sniff_bytes(b"line one\nline two\nline three\n") == sniff.PLAIN
+    # two complete lines are not enough evidence
+    assert sniff.sniff_bytes(b"a,b\n1,2\n") == sniff.PLAIN
+
+
+def test_json_and_ndjson_sniff():
+    assert sniff.sniff_bytes(b'{"key": "value"}') == sniff.JSON
+    assert sniff.sniff_bytes(b'{\n  "key": 1\n}\n') == sniff.JSON
+    assert sniff.sniff_bytes(b'[{"a": 1}, {"a": 2}]') == sniff.JSON
+    assert sniff.sniff_bytes(b"[1, 2, 3]") == sniff.JSON
+    assert sniff.sniff_bytes(b'{"a":1}\n{"a":2}\n{"a":3}\n') == sniff.NDJSON
+    # brace-led but not JSON-shaped stays plain
+    assert sniff.sniff_bytes(b"{brace} in prose text") == sniff.PLAIN
+    assert sniff.sniff_bytes(b"[citation needed] said the page") == sniff.PLAIN
+
+
+def test_markdown_sniff_needs_two_signals():
+    assert sniff.sniff_bytes(b"# Title\n\nBody.\n\n## Section\n\nx\n") == sniff.MARKDOWN
+    assert sniff.sniff_bytes(b"# Title\n\n- item one\n- item two\n") == sniff.MARKDOWN
+    # a single hash-led line (shell comment style) stays plain
+    assert sniff.sniff_bytes(b"# config comment\nkey=value\n") == sniff.PLAIN
+
+
+def test_xml_root_subtypes():
+    x = b'<?xml version="1.0" encoding="UTF-8"?>\n'
+    assert sniff.sniff_bytes(x + b'<svg xmlns="http://www.w3.org/2000/svg"/>') == sniff.SVG
+    assert sniff.sniff_bytes(x + b'<rss version="2.0"><channel/></rss>') == sniff.RSS
+    assert sniff.sniff_bytes(x + b'<feed xmlns="http://www.w3.org/2005/Atom"/>') == sniff.ATOM
+    assert sniff.sniff_bytes(x + b"<catalog><item/></catalog>") == sniff.XML
+    # a doctype or comment before the root must not confuse root detection
+    assert (
+        sniff.sniff_bytes(x + b"<!-- made by hand -->\n<svg/>") == sniff.SVG
+    )
+    assert sniff.sniff_bytes(b"<svg width='4'/>") == sniff.SVG
+
+
+def test_name_hint_refines_only_text_plain():
+    assert sniff.refine_by_name(sniff.PLAIN, "https://x.test/d/t.csv") == sniff.CSV
+    assert sniff.refine_by_name(sniff.PLAIN, "https://x.test/d/t.tsv") == sniff.TSV
+    assert sniff.refine_by_name(sniff.PLAIN, "https://x.test/README.md") == sniff.MARKDOWN
+    assert sniff.refine_by_name(sniff.PLAIN, "https://x.test/a.jsonl?y=1#z") == sniff.NDJSON
+    # magic always wins: a non-plain sniff is never renamed
+    assert sniff.refine_by_name(sniff.HTML, "https://x.test/d/t.csv") == sniff.HTML
+    # dots in directories don't count as extensions
+    assert sniff.refine_by_name(sniff.PLAIN, "https://x.test/v1.2/data") == sniff.PLAIN
+
+
+def test_csv_extraction_passthrough_and_shape():
+    text = "id,name\n1,ann\n2,bob\n"
+    c, ctype, cs, spans, meta = _stage()._do_csv(text.encode(), sniff.CSV)
+    assert c == text  # Tika TextAndCSVParser: characters stream through
+    assert ctype == "text/csv; charset=UTF-8" and cs == "UTF-8"
+    assert meta["csv:delimiter"] == "comma"
+    assert meta["csv:num-rows"] == "3" and meta["csv:num-columns"] == "2"
+    # quoted field with an embedded delimiter parses as ONE cell
+    q = 'id,name\n1,"last, first"\n2,plain\n'
+    _, _, _, _, meta = _stage()._do_csv(q.encode(), sniff.CSV)
+    assert meta["csv:num-columns"] == "2"
+
+
+def test_json_ndjson_extraction_metadata():
+    c, _, _, _, meta = _stage()._do_json(b'{"a": 1, "b": [2, 3]}', sniff.JSON)
+    assert c == '{"a": 1, "b": [2, 3]}'
+    assert meta["json:valid"] == "true" and meta["json:num-keys"] == "2"
+    _, _, _, _, meta = _stage()._do_json(b'{"a": unterminated', sniff.JSON)
+    assert meta["json:valid"] == "false"
+    _, _, _, _, meta = _stage()._do_ndjson(
+        b'{"i":1}\n{"i":2}\nbroken line\n', sniff.NDJSON
+    )
+    assert meta["ndjson:num-lines"] == "3"
+    assert meta["ndjson:num-records"] == "2"
+
+
+def test_markdown_strips_to_plain_text():
+    md = (
+        "# The Title\n\nFirst paragraph.\n\n## Sub\n\n> quoted line\n\n"
+        "1. first\n2. second\n\n```python\ncode line\n```\n\n"
+        "![alt text](img.png) and *emph* plus __strong__.\n\n---\n"
+    )
+    c, ctype, _, _, meta = _stage()._do_markdown(md.encode(), sniff.MARKDOWN)
+    assert "# " not in c and "```" not in c and "![" not in c
+    assert "The Title" in c and "quoted line" in c
+    assert "first\nsecond" in c  # ordered-list markers stripped
+    assert "code line" in c  # fence markers gone, code kept
+    assert "alt text and emph plus strong." in c
+    assert "---" not in c
+    assert meta["dc:title"] == "The Title"
+    assert meta["md:num-headings"] == "2"
+    assert ctype == "text/markdown; charset=UTF-8"
+
+
+def test_svg_text_and_dimensions():
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="32" height="16">'
+        b"<title>Chart</title><desc>A description</desc>"
+        b'<text x="0" y="0">Label <tspan>one</tspan></text></svg>'
+    )
+    c, ctype, cs, _, meta = _stage()._do_svg(svg, sniff.SVG)
+    assert c == "Chart\nA description\nLabel one\n"
+    assert cs is None and ctype == sniff.SVG
+    assert meta == {"dc:title": "Chart", "svg:width": "32", "svg:height": "16"}
+
+
+def test_feed_extraction_rss_and_atom():
+    rss = (
+        b'<rss version="2.0"><channel><title>News</title>'
+        b"<description>All the news</description>"
+        b"<item><title>One</title><description>First item</description></item>"
+        b"<item><title>Two</title><description>Second item</description></item>"
+        b"</channel></rss>"
+    )
+    c, _, _, _, meta = _stage()._do_feed(rss, sniff.RSS)
+    assert c == "News\nAll the news\nOne\nFirst item\nTwo\nSecond item\n"
+    assert meta == {"feed:num-entries": "2", "dc:title": "News"}
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>Blog</title>'
+        b"<entry><title>Post</title><summary>Summary text</summary></entry>"
+        b"</feed>"
+    )
+    c, _, _, _, meta = _stage()._do_feed(atom, sniff.ATOM)
+    assert c == "Blog\nPost\nSummary text\n"
+    assert meta == {"feed:num-entries": "1", "dc:title": "Blog"}
+
+
+def test_corrupt_svg_feed_raise_for_error_row():
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _stage()._do_svg(b"<svg><unclosed", sniff.SVG)
+    with _pytest.raises(Exception):
+        _stage()._do_feed(b"<rss><channel><broken", sniff.RSS)
