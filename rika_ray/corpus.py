@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 15
+CORPUS_VERSION = 16
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -309,6 +309,92 @@ def generate_corpus(
                 language=lang_code,
                 extra_metadata={"Content-Encoding": cs_name},
                 claimed_lang=lang_code,
+            )
+
+    # --- plain_{tis620,iso88597,win1256,win1255,win1250}: single-byte
+    # legacy codepages beyond the Cyrillic/Western set — detected by the
+    # per-script frequency profiles (common-letter concentration separates
+    # right-codec decode from wrong-codec scatter); language via script
+    # shortcut (th/el/ar/he) or the trigram model (pl/cs)
+    _SB_FAMILIES = [
+        (
+            "plain-tis620", "tis_620", "TIS-620", "th",
+            [
+                "สถานีรถไฟเต็มไปด้วยผู้คนในตอนเช้า",
+                "ผู้คนเดินไปพร้อมขนมปังและหนังสือพิมพ์",
+                "ตอนเที่ยงจัตุรัสเต็มไปด้วยนักเรียน",
+                "ฝนตกในตอนกลางคืน",
+                "เมืองเงียบสงบอีกครั้งในตอนเย็น",
+            ],
+        ),
+        (
+            "plain-iso88597", "iso8859_7", "ISO-8859-7", "el",
+            [
+                "Το πρωί ο σταθμός γεμίζει με κόσμο και θόρυβο.",
+                "Οι άνθρωποι περπατούν με ψωμί και εφημερίδες.",
+                "Το μεσημέρι η πλατεία γεμίζει φοιτητές.",
+                "Η βροχή έπεσε κατά τη διάρκεια της νύχτας.",
+                "Το βράδυ η πόλη ησυχάζει ξανά.",
+            ],
+        ),
+        (
+            "plain-win1256", "cp1256", "windows-1256", "ar",
+            [
+                "في الصباح تمتلئ المحطة بالناس والضجيج.",
+                "يمشي الناس مع الخبز والصحف.",
+                "عند الظهر تمتلئ الساحة بالطلاب.",
+                "هطل المطر أثناء الليل.",
+                "في المساء تهدأ المدينة من جديد.",
+            ],
+        ),
+        (
+            "plain-win1255", "cp1255", "windows-1255", "he",
+            [
+                "בבוקר התחנה מתמלאת באנשים וברעש.",
+                "אנשים הולכים עם לחם ועיתונים.",
+                "בצהריים הכיכר מתמלאת בסטודנטים.",
+                "הגשם ירד במהלך הלילה.",
+                "בערב העיר נרגעת שוב.",
+            ],
+        ),
+        (
+            "plain-win1250-pl", "cp1250", "windows-1250", "pl",
+            [
+                "Rano stacja wypełnia się ludźmi i hałasem.",
+                "Ludzie idą z chlebem i gazetami.",
+                "W południe plac jest pełen studentów.",
+                "Deszcz padał w nocy.",
+                "Wieczorem miasto znów cichnie.",
+            ],
+        ),
+        (
+            "plain-win1250-cs", "cp1250", "windows-1250", "cs",
+            [
+                "Vlak přijíždí na nádraží brzy ráno.",
+                "Děti běží přes náměstí se žlutými míči.",
+                "V poledne je náměstí plné studentů.",
+                "V noci pršelo a ulice jsou mokré.",
+                "Večer město znovu ztichne.",
+            ],
+        ),
+    ]
+    for fam, codec, cs_name, lang_code, sentences in _SB_FAMILIES:
+        for k in range(max(2, n_per_family)):
+            gen = (
+                " ".join(
+                    sentences[(k + j) % len(sentences)] for j in range(3)
+                )
+                + "\n"
+            )
+            b.add(
+                fam,
+                gen.encode(codec),
+                content=gen,
+                content_type=f"text/plain; charset={cs_name}",
+                media_type="text/plain",
+                charset=cs_name,
+                language=lang_code,
+                extra_metadata={"Content-Encoding": cs_name},
             )
 
     # --- plain_shiftjis: Japanese text — charset detected structurally,

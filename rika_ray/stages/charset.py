@@ -27,8 +27,13 @@ UTF8 = "UTF-8"
 UTF16LE = "UTF-16LE"
 UTF16BE = "UTF-16BE"
 LATIN1 = "ISO-8859-1"
+WIN1250 = "windows-1250"
 WIN1251 = "windows-1251"
 WIN1252 = "windows-1252"
+WIN1255 = "windows-1255"
+WIN1256 = "windows-1256"
+ISO88597 = "ISO-8859-7"
+TIS620 = "TIS-620"
 KOI8R = "KOI8-R"
 SHIFT_JIS = "Shift_JIS"
 GB18030 = "GB18030"
@@ -42,8 +47,13 @@ _CODEC = {
     UTF16BE: "utf-16-be",
     UTF8: "utf-8",
     LATIN1: "iso-8859-1",
+    WIN1250: "cp1250",
     WIN1251: "cp1251",
     WIN1252: "cp1252",
+    WIN1255: "cp1255",
+    WIN1256: "cp1256",
+    ISO88597: "iso8859_7",
+    TIS620: "tis_620",
     KOI8R: "koi8-r",
     SHIFT_JIS: "shift_jis",
     GB18030: "gb18030",
@@ -55,9 +65,47 @@ _CODEC = {
 
 # The seven most frequent Russian letters cover >40% of running text; their
 # lowercase forms live at 0xE0+ in cp1251 but 0xC0-0xDF in KOI8-R, so a
-# common-lowercase score cleanly separates the two.
+# common-lowercase score cleanly separates the two. Per-script common-letter
+# sets below are the same idea for the other legacy codepages: each codec
+# decodes bytes into its OWN script, so one union set is safe — text under
+# the right codec concentrates on its script's common letters, text under a
+# wrong codec scatters across that script's full alphabet.
 _RU_COMMON = set("оеаинтсрвлкмдпу")
-_LATIN_COMMON = set("éèêëàâäçôöîïûüùñåæøßã")
+_LATIN_COMMON = set("éèêëàâäçôöîïûüùñåæøßãóáíúý")
+# Central European (cp1250): Polish/Czech/Hungarian accents whose bytes are
+# typography or controls under latin-1/cp1252 — the separating signal
+_CE_COMMON = set("ąćęłńśźżčďěňřšťůžőű")
+# Top-frequency letters ONLY (≈ the top dozen of each script) — a set that
+# covers most of the alphabet can't separate right-codec concentration
+# from wrong-codec scatter
+_EL_COMMON = set("αοετισνηρκπυάίό")
+_AR_COMMON = set("اليمونهرتبكد")
+_HE_COMMON = set("יהולארתשבמענ")
+_TH_COMMON = set("ารนเอิกงมยลวสด่้")
+
+# Per-codec scoring profile: (common letters, in-script predicate). Letters
+# OUTSIDE the codec's primary script score low — mixed-script codepages
+# (cp1256 carries Latin accents alongside Arabic) would otherwise score
+# foreign text on their secondary script.
+def _in_latin(ch: str) -> bool:
+    return ch <= "\u024f"
+
+
+def _in_cyrillic(ch: str) -> bool:
+    return "\u0400" <= ch <= "\u04ff"
+
+
+_PROFILE = {
+    "cp1251": (_RU_COMMON, _in_cyrillic),
+    "koi8-r": (_RU_COMMON, _in_cyrillic),
+    "cp1252": (_LATIN_COMMON, _in_latin),
+    "latin_1": (_LATIN_COMMON, _in_latin),
+    "cp1250": (_LATIN_COMMON | _CE_COMMON, _in_latin),
+    "iso8859_7": (_EL_COMMON, lambda ch: "\u0370" <= ch <= "\u03ff"),
+    "cp1256": (_AR_COMMON, lambda ch: "\u0600" <= ch <= "\u06ff"),
+    "cp1255": (_HE_COMMON, lambda ch: "\u0590" <= ch <= "\u05ff"),
+    "tis_620": (_TH_COMMON, lambda ch: "\u0e00" <= ch <= "\u0e7f"),
+}
 # cp1252 0x80-0x9F typographic block (undefined: 81 8D 8F 90 9D)
 _CP1252_TYPO = frozenset(
     range(0x80, 0xA0)
@@ -73,14 +121,15 @@ def _byte_weight(b: int, codec: str) -> float:
         ch = bytes([b]).decode(codec)
     except UnicodeDecodeError:
         return -2.0
-    if ch in _RU_COMMON or ch in _LATIN_COMMON:
+    common, in_script = _PROFILE[codec]
+    if ch in common:
         return 2.0
-    if "\u0430" <= ch <= "\u044f" or ch == "\u0451":  # а-я, ё
-        return 1.0
-    if "\u0410" <= ch <= "\u042f" or ch == "\u0401":  # А-Я, Ё
-        return 0.4
     if ch.isalpha():
-        return 1.0 if ch.islower() else 0.4
+        if not in_script(ch):
+            return 0.2  # plausible only as quoted foreign words
+        # caseless scripts (Thai, Arabic, Hebrew) are running-text letters,
+        # not "uppercase": only genuinely uppercase letters get the penalty
+        return 0.4 if ch.isupper() else 1.0
     if b in _CP1252_TYPO and codec == "cp1252":
         return 0.3
     if ch.isprintable() or ch in " ":
@@ -103,18 +152,16 @@ def _tables():
         ascii_letter[0x61:0x7B] = True
         high = np.arange(256) >= 0x80
         _T = {
-            "cp1251": np.array(
-                [_byte_weight(b, "cp1251") if b >= 0x80 else 0.0
-                 for b in range(256)], dtype=np.float32),
-            "koi8-r": np.array(
-                [_byte_weight(b, "koi8-r") if b >= 0x80 else 0.0
-                 for b in range(256)], dtype=np.float32),
-            "cp1252": np.array(
-                [_byte_weight(b, "cp1252") if b >= 0x80 else 0.0
-                 for b in range(256)], dtype=np.float32),
-            "ascii_letter": ascii_letter,
-            "letterish": ascii_letter | high,
+            codec: np.array(
+                [_byte_weight(b, codec) if b >= 0x80 else 0.0
+                 for b in range(256)], dtype=np.float32)
+            for codec in (
+                "cp1251", "koi8-r", "cp1252", "cp1250", "latin_1",
+                "iso8859_7", "cp1256", "cp1255", "tis_620",
+            )
         }
+        _T["ascii_letter"] = ascii_letter
+        _T["letterish"] = ascii_letter | high
     return _T
 
 
@@ -352,7 +399,12 @@ def detect_charset(data: bytes) -> str:
         )
         has_high = (c_high[ends] - c_high[starts]) > 0
         has_ascii = (c_ascii[ends] - c_ascii[starts]) > 0
-        pure_high_words = int((has_high & ~has_ascii).sum())
+        # a pure-high "word" must be a RUN (≥2 bytes): script words are
+        # multi-byte, while Latin text sprinkles isolated high bytes —
+        # standalone à, «, — , € — that would otherwise masquerade as
+        # script words and drag Western pages into the script branch
+        long_enough = (ends - starts) >= 2
+        pure_high_words = int((has_high & ~has_ascii & long_enough).sum())
         mixed_words = int((has_high & has_ascii).sum())
 
     # GB18030/Big5/EUC-KR candidate computed once; consulted BEFORE the
@@ -364,16 +416,27 @@ def detect_charset(data: bytes) -> str:
     if pure_high_words > mixed_words:
         if cjk is not None:
             return cjk
-        # pure-high-byte words: Cyrillic single-byte candidates next —
-        # their letter-frequency signal must outrank SJIS's structural one
-        # (Russian cp1251 lowercase pairs parse as valid SJIS kanji units,
-        # and KOI8-R lowercase aliases SJIS half-width kana byte-for-byte)
-        s1251 = _score_single_byte(sample, "cp1251")
-        skoi8 = _score_single_byte(sample, "koi8-r")
-        best, score = (
-            (WIN1251, s1251) if s1251 >= skoi8 else (KOI8R, skoi8)
-        )
-        if score >= 0.8:
+        # pure-high-byte words: non-Latin single-byte candidates next —
+        # Cyrillic (two case-plane-swapped layouts), Greek, Arabic, Hebrew,
+        # Thai. Their letter-frequency signal must outrank SJIS's
+        # structural one (Russian cp1251 lowercase pairs parse as valid
+        # SJIS kanji units, and KOI8-R lowercase aliases SJIS half-width
+        # kana byte-for-byte). Frequency separates the scripts: text under
+        # the right codec concentrates on its script's common letters,
+        # under a wrong codec it scatters across the full alphabet.
+        best, score = None, 0.0
+        for codec, name in (
+            ("cp1251", WIN1251),
+            ("koi8-r", KOI8R),
+            ("iso8859_7", ISO88597),
+            ("cp1256", WIN1256),
+            ("cp1255", WIN1255),
+            ("tis_620", TIS620),
+        ):
+            s = _score_single_byte(sample, codec)
+            if s > score:
+                best, score = name, s
+        if best is not None and score >= 0.8:
             return best
     # SJIS before the Latin fallback: hiragana trail bytes live in the
     # ASCII-letter range, so Japanese text registers as "mixed words"
@@ -384,11 +447,20 @@ def detect_charset(data: bytes) -> str:
     # units are structurally valid GBK, the reverse check is stronger)
     if cjk is not None:
         return cjk
-    # Latin family: cp1252 only when the 0x80-0x9F typographic block is
-    # actually used (otherwise the two are byte-identical in practice and
-    # ISO-8859-1 is the reference's reported fallback)
+    # Latin family. Central European cp1250 first, and only on a clear
+    # margin: its accents (ł ż ą č ř ...) land on typography/controls under
+    # latin-1/cp1252, so CE text scores visibly higher under cp1250 while
+    # Western text ties or wins under cp1252 (shared é è ô positions).
+    s1250 = _score_single_byte(sample, "cp1250")
+    s1252 = _score_single_byte(sample, "cp1252")
+    slat1 = _score_single_byte(sample, "latin_1")
+    if s1250 >= max(s1252, slat1) + 0.25:
+        return WIN1250
+    # cp1252 only when the 0x80-0x9F typographic block is actually used
+    # (otherwise the two are byte-identical in practice and ISO-8859-1 is
+    # the reference's reported fallback)
     if any(b in _CP1252_TYPO for b in sample):
-        if _score_single_byte(sample, "cp1252") >= 0.0:
+        if s1252 >= 0.0:
             return WIN1252
     return LATIN1
 

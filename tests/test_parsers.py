@@ -360,6 +360,39 @@ def test_cjk_charset_window_truncation():
     assert detect_charset(bytes(corrupt)) != "GB18030"
 
 
+def test_script_codepage_charset_detection():
+    """M2 breadth: per-script frequency profiles separate the single-byte
+    legacy codepages — Greek (ISO-8859-7), Arabic (windows-1256), Hebrew
+    (windows-1255), Thai (TIS-620) and Central European (windows-1250,
+    whose accents land on typography/controls under latin-1/cp1252)."""
+    from rika_ray.stages.charset import decode_text, detect_charset
+
+    cases = [
+        ("Το πρωί ο σταθμός γεμίζει με κόσμο και θόρυβο. Οι άνθρωποι "
+         "περπατούν με ψωμί.", "iso8859_7", "ISO-8859-7"),
+        ("في الصباح تمتلئ المحطة بالناس والضجيج. يمشي الناس مع الخبز "
+         "والصحف.", "cp1256", "windows-1256"),
+        ("בבוקר התחנה מתמלאת באנשים וברעש. אנשים הולכים עם לחם "
+         "ועיתונים.", "cp1255", "windows-1255"),
+        ("สถานีรถไฟเต็มไปด้วยผู้คนในตอนเช้า "
+         "ผู้คนเดินไปพร้อมขนมปังและหนังสือพิมพ์", "tis_620", "TIS-620"),
+        ("Rano stacja wypełnia się ludźmi i hałasem. Ludzie idą z chlebem "
+         "i gazetami.", "cp1250", "windows-1250"),
+        ("Vlak přijíždí na nádraží brzy ráno. Děti běží přes náměstí se "
+         "žlutými míči.", "cp1250", "windows-1250"),
+    ]
+    for text, codec, expected in cases:
+        data = text.encode(codec)
+        assert detect_charset(data) == expected, (codec, expected)
+        decoded, cs = decode_text(data)
+        assert decoded == text and cs == expected
+    # Western text must NOT migrate to the new candidates (margin rule)
+    fr = "voilà une phrase française avec des accents très ordinaire"
+    assert detect_charset(fr.encode("latin-1")) == "ISO-8859-1"
+    ru = "привет мир это русский текст для проверки кодировок"
+    assert detect_charset(ru.encode("cp1251")) == "windows-1251"
+
+
 def test_legacy_charset_fuzz_total():
     """detect/decode never raise on arbitrary bytes (the M1-style totality
     property extended to M2)."""
