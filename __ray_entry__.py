@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": relational.top_parts_by_quantity,
         "shipping_priority": relational.shipping_priority,
         "returned_items": relational.returned_items,
+        "customers_without_urgent_orders": relational.customers_without_urgent_orders,
         "orders_value_class_tally": relational.orders_value_class_tally,
         "part_type_stats": relational.part_type_stats,
         "events_distinct_users": relational.events_distinct_users,
@@ -270,6 +271,12 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "customers_without_urgent_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') "
+            "ORDER BY c_custkey"
         ),
         "returned_items": (
             "SELECT c_custkey, c_name, "

@@ -847,3 +847,18 @@ def part_type_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(_finish, batch_format="pyarrow").sort("p_type")
+
+
+def customers_without_urgent_orders(sf_dir: str) -> ray.data.Dataset:
+    """Customers that never placed a 1-URGENT order — the distributed
+    ANTI-join shape (NOT EXISTS). ``left_anti`` hash-partitions both sides
+    on the key and keeps left rows with no match; the right side is
+    filtered at the read and ships only its key column."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent_keys = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"])
+    return cust.join(
+        urgent_keys, "left_anti", num_partitions=_join_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).sort("c_custkey")
