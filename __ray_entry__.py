@@ -135,6 +135,12 @@ def _q_warc_media_tally(sf_dir: str):
     return media_type_tally(out)
 
 
+def _q_curated_docs(sf_dir: str):
+    from rika_ray.pipelines.curation import curated_docs
+
+    return curated_docs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rika_ray.pipelines import dedup, relational, similarity, text_analysis
 
@@ -177,10 +183,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_analysis.quality_scores,
         "quality_filter": text_analysis.quality_filter,
         "lang_id": text_analysis.lang_id,
+        # --- composed curation pipeline (quality → dedup → domain cap) ---
+        "curated_docs": _q_curated_docs,
         # --- dedup ---
         "dedup_exact_hashed": dedup.dedup_exact_survivors,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "minhash_pair_set": dedup.minhash_pair_set,
+        "neardup_clusters": dedup.neardup_clusters,
         "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
@@ -376,6 +385,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS tok "
             f"FROM documents) t ORDER BY doc_id"
         ),
+        "curated_docs": (
+            # composed pipeline: quality filter (>=50 words) → exact dedup
+            # (min doc_id per text) → per-source cap of 20 (lowest doc_ids)
+            f"WITH q AS (SELECT doc_id, source, text FROM documents "
+            f"WHERE len({_TOKENIZE_SQL}) >= 50), "
+            f"d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text), "
+            f"j AS (SELECT q.doc_id, q.source FROM q JOIN d USING(doc_id)), "
+            f"r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            f"PARTITION BY source ORDER BY doc_id) AS rn FROM j) "
+            f"SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id"
+        ),
         "minhash_pair_set": (
             # ground truth for the LSH pair SET: exact 3-word-shingle
             # Jaccard ≥ 0.5 over all pairs (recall/precision margins in
@@ -395,6 +415,32 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN sizes sb ON sb.doc_id = db "
             f"WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5 "
             f"ORDER BY doc_a, doc_b"
+        ),
+        "neardup_clusters": (
+            # connected components over the exact-Jaccard pair set (the
+            # engine's LSH pair set is oracled equal via minhash_pair_set):
+            # cluster_id = smallest doc_id reachable through pair edges
+            f"WITH RECURSIVE tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
+            f"FROM documents), "
+            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
+            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
+            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
+            f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "
+            f"AS c FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < "
+            f"b.doc_id GROUP BY 1, 2), "
+            f"pairs AS (SELECT da AS doc_a, db AS doc_b "
+            f"FROM inter JOIN sizes sa ON sa.doc_id = da "
+            f"JOIN sizes sb ON sb.doc_id = db "
+            f"WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5), "
+            f"edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs "
+            f"UNION SELECT doc_b, doc_a FROM pairs), "
+            f"reach(node, root) AS (SELECT s, s FROM edges "
+            f"UNION SELECT e.t, r.root FROM reach r "
+            f"JOIN edges e ON e.s = r.node) "
+            f"SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach "
+            f"GROUP BY node ORDER BY doc_id"
         ),
         "verify_jaccard_pairs": (
             # exact 3-word-shingle Jaccard over ALL pairs ≥ 0.5 — the

@@ -881,3 +881,85 @@ def embedding_neardup_exact(
         num_cpus=0.5,
     )
     return _schema_stable(empty.union(pairs).sort(["vec_a", "vec_b"]), empty)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation: connected components over the LSH pair set
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    sf_dir: str,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_rounds: int = 20,
+) -> ray.data.Dataset:
+    """Duplicate CLUSTERS from the near-dup pair set: connected components
+    by distributed min-label propagation. Each doc in ≥1 pair gets
+    ``cluster_id`` = the smallest doc_id reachable through pair edges —
+    the step a real curation pipeline runs after LSH so a dup GROUP keeps
+    exactly one canonical document (keep ``doc_id == cluster_id``).
+
+    Scale shape: the edge list is the collision-bounded pair set (result-
+    sized, not corpus-sized). Each round is one hash join (labels reach
+    neighbors) + one groupby-min — all hash-partitioned; the driver sees
+    only the scalar label-sum used for the fixpoint test. Min-label
+    propagation converges in O(component diameter) rounds; near-dup
+    components are shallow (dup groups, not social graphs), and
+    ``max_rounds`` bounds the degenerate case. Labels are materialized
+    per round so the lazy plan doesn't re-execute the whole chain each
+    iteration."""
+    from rika_ray.pool import cluster_cpus
+
+    nparts = max(4, cluster_cpus())
+    pairs = minhash_pair_set(sf_dir, threshold=threshold, seed=seed)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].combine_chunks()
+        b = batch["doc_b"].combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"lnode": batch["node"], "label": batch["node"]})
+
+    labels = (
+        edges.map_batches(_self_label, batch_format="pyarrow")
+        .groupby("lnode")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels, "inner", num_partitions=nparts,
+            on=("nbr",), right_on=("lnode",),
+        )
+
+        def _as_label(batch: pa.Table) -> pa.Table:
+            return pa.table({"lnode": batch["node"], "label": batch["label"]})
+
+        new_labels = (
+            labels.union(prop.map_batches(_as_label, batch_format="pyarrow"))
+            .groupby("lnode")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == prev_sum:  # min labels are monotone: equal sum = fixpoint
+            break
+        prev_sum = new_sum
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["lnode"], "cluster_id": batch["label"]}
+        )
+
+    return labels.map_batches(_rename, batch_format="pyarrow").sort("doc_id")

@@ -238,3 +238,46 @@ def test_driver_testdata_has_no_neardups_at_09(ray_session):
     exact = embedding_neardup_exact(sf, threshold=0.9).take_all()
     lsh = embedding_neardup_pairs(sf, threshold=0.9).take_all()
     assert exact == [] and lsh == []
+
+
+def test_neardup_clusters_chain_transitivity(ray_session, tmp_path_factory):
+    """Cluster formation follows TRANSITIVE near-dup links: a—b and b—c
+    edges put a, b, c in ONE cluster labeled min(a) even when a—c itself
+    is below the pair threshold (the chain shape label propagation must
+    walk), while an unrelated dup pair keeps its own cluster."""
+    from rika_ray.pipelines.dedup import neardup_clusters
+
+    rng = random.Random(13)
+    base = [" ".join(rng.choice(WORDS) for _ in range(80)) for _ in range(6)]
+    texts = list(base)
+
+    def _mutate(text: str, positions: list[int]) -> str:
+        toks = text.split()
+        for i, p in enumerate(positions):
+            toks[p] = f"mut{p}_{i}"
+        return " ".join(toks)
+
+    # chain: 6 = near-dup of 0; 7 = near-dup of 6 with DIFFERENT extra
+    # mutations so jaccard(0,7) < jaccard(0,6) (still linked via 6)
+    texts.append(_mutate(base[0], [10]))              # doc 6 ~ doc 0
+    texts.append(_mutate(texts[6], [30, 50, 70]))     # doc 7 ~ doc 6
+    # separate pair: 8 = near-dup of 3
+    texts.append(_mutate(base[3], [20]))              # doc 8 ~ doc 3
+
+    d = tmp_path_factory.mktemp("clusters")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(str(d)).take_all()
+    }
+    assert rows[0] == rows[6] == rows[7] == 0  # chain collapses to min id
+    assert rows[3] == rows[8] == 3
+    assert set(rows) == {0, 3, 6, 7, 8}  # singles don't appear

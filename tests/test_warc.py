@@ -131,3 +131,25 @@ def test_read_warc_dataset_and_extraction_parity(ray_session, corpus_dir, tmp_pa
     }
     assert len(got) == len(rows)
     assert got == want
+
+
+def test_wet_conversion_records_supported():
+    """Common Crawl WET files carry extracted text as ``conversion``
+    records (no HTTP envelope) — the reader must yield their payload
+    verbatim as the page bytes."""
+    from rika_ray.sources.warc import iter_warc_records
+
+    body = "Extracted plain text.\nSecond line.\n".encode()
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://example.test/wet\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}".encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    got = list(iter_warc_records(rec))
+    assert len(got) == 1
+    assert got[0]["url"] == "https://example.test/wet"
+    assert got[0]["html"] == body  # no envelope stripping on conversion
