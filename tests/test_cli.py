@@ -129,3 +129,33 @@ def test_warc_target_routes_through_warc_reader(tmp_path):
         "https://crawl.test/page-two",
     }
     assert any("warc record body" in d["text"] for d in docs)
+
+
+def test_textual_web_formats_through_cli(tmp_path):
+    """CSV (name hint on a short table), Markdown and SVG files extract
+    through the loose-file CLI path with their refined media types."""
+    (tmp_path / "t.csv").write_text("id,name\n1,alpha\n")
+    (tmp_path / "n.md").write_text(
+        "# My Title\n\nSome body text here.\n\n## More\n\n- item one\n"
+    )
+    (tmp_path / "pic.svg").write_text(
+        '<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg">'
+        "<title>Diagram</title><text>Label text</text></svg>\n"
+    )
+    res = _run_cli(
+        ["-f", "jj",
+         str(tmp_path / "t.csv"), str(tmp_path / "n.md"),
+         str(tmp_path / "pic.svg")]
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    rows = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
+    by_type = {
+        r["metadata"]["Content-Type"].split(";")[0]: r for r in rows
+    }
+    assert set(by_type) == {"text/csv", "text/markdown", "image/svg+xml"}
+    assert by_type["text/csv"]["text"] == "id,name\n1,alpha\n"
+    md = by_type["text/markdown"]
+    assert "My Title" in md["text"] and "# " not in md["text"]
+    assert md["metadata"]["dc:title"] == "My Title"
+    svg = by_type["image/svg+xml"]
+    assert svg["text"] == "Diagram\nLabel text\n"
