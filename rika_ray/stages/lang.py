@@ -284,10 +284,6 @@ def _script_shortcut(text: str) -> str | None:
         ((non_ascii >= 0x0600) & (non_ascii <= 0x06FF))
         | ((non_ascii >= 0x0750) & (non_ascii <= 0x077F))
     ).sum() / n
-    greek = ((non_ascii >= 0x0370) & (non_ascii <= 0x03FF)).sum() / n
-    hebrew = ((non_ascii >= 0x0590) & (non_ascii <= 0x05FF)).sum() / n
-    thai = ((non_ascii >= 0x0E00) & (non_ascii <= 0x0E7F)).sum() / n
-    devanagari = ((non_ascii >= 0x0900) & (non_ascii <= 0x097F)).sum() / n
     if hangul >= 0.3:
         return "ko"
     if kana >= 0.05 and kana + han >= 0.3:
@@ -296,15 +292,39 @@ def _script_shortcut(text: str) -> str | None:
         return "zh"
     if arabic >= 0.3:
         return "ar"
-    if greek >= 0.3:
-        return "el"
-    if hebrew >= 0.3:
-        return "he"
-    if thai >= 0.3:
-        return "th"
-    if devanagari >= 0.3:
-        return "hi"
+    # Single-dominant-language scripts: the block histogram IS the answer.
+    # Where a script hosts several languages the dominant web language is
+    # reported (Devanagari → hi, not mr/ne; Bengali → bn, not as;
+    # Ethiopic → am, not ti) — the same policy real detectors apply when
+    # no per-language model exists for the script.
+    for lo_cp, hi_cp, code in _SINGLE_SCRIPTS:
+        if ((non_ascii >= lo_cp) & (non_ascii <= hi_cp)).sum() / n >= 0.3:
+            return code
     return None
+
+
+# (block-lo, block-hi, ISO 639-1) — consulted in order
+_SINGLE_SCRIPTS = (
+    (0x0370, 0x03FF, "el"),   # Greek
+    (0x0590, 0x05FF, "he"),   # Hebrew
+    (0x0E00, 0x0E7F, "th"),   # Thai
+    (0x0900, 0x097F, "hi"),   # Devanagari
+    (0x0980, 0x09FF, "bn"),   # Bengali
+    (0x0A00, 0x0A7F, "pa"),   # Gurmukhi
+    (0x0A80, 0x0AFF, "gu"),   # Gujarati
+    (0x0B00, 0x0B7F, "or"),   # Oriya
+    (0x0B80, 0x0BFF, "ta"),   # Tamil
+    (0x0C00, 0x0C7F, "te"),   # Telugu
+    (0x0C80, 0x0CFF, "kn"),   # Kannada
+    (0x0D00, 0x0D7F, "ml"),   # Malayalam
+    (0x0D80, 0x0DFF, "si"),   # Sinhala
+    (0x0E80, 0x0EFF, "lo"),   # Lao
+    (0x1000, 0x109F, "my"),   # Myanmar
+    (0x10A0, 0x10FF, "ka"),   # Georgian
+    (0x0530, 0x058F, "hy"),   # Armenian
+    (0x1200, 0x137F, "am"),   # Ethiopic
+    (0x1780, 0x17FF, "km"),   # Khmer
+)
 
 
 _CLEAN_RE = re.compile(r"[\W\d_]+", re.UNICODE)

@@ -113,16 +113,53 @@ def test_script_shortcut_languages():
 
 
 def test_out_of_model_script_is_undetermined():
-    """Certainty floor: long in-length but out-of-model text (Armenian,
-    Georgian, Tamil) must yield None, never a forced bin — reference
-    analogue: Optimaize's certainty threshold
-    (/root/reference/lib/rika.rb:58-61). The margin-based floor is
-    vocabulary-size invariant, so adding languages cannot re-bin these."""
+    """Certainty floor: long in-length but out-of-model text must yield
+    None, never a forced bin — reference analogue: Optimaize's certainty
+    threshold (/root/reference/lib/rika.rb:58-61). The margin-based floor
+    is vocabulary-size invariant, so adding languages cannot re-bin these.
+    (Armenian/Georgian/Tamil moved out of this list when their script
+    shortcuts landed; out-of-model is now exercised by scripts the engine
+    genuinely doesn't cover plus Latin gibberish.)"""
     profiles = build_profiles()
     for text in (
-        "Սա հայերեն տեքստ է, և լեզվի հայտնաբերիչը պետք է այն համարի անորոշ ամբողջությամբ։",
-        "ეს არის ქართული ტექსტი და ენის დეტექტორმა ის გაურკვევლად უნდა მიიჩნიოს სრულიად.",
-        "இது தமிழ் உரை மற்றும் மொழி கண்டறிதல் கருவி இதை தீர்மானிக்க முடியாததாக கருத வேண்டும்.",
+        # Cherokee syllabary (U+13A0) — no shortcut, no trigram model
+        "ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎠᎴ ᏗᎪᏪᎵ ᎠᏂᏃᎮᎵᏙᎯ ᎤᏂᏣᏘ ᎠᏂᏴᏫᏯ ᎠᏁᎲᎢ",
+        # Canadian Aboriginal syllabics (U+1400)
+        "ᓄᓇᕗᑦ ᐃᓄᒃᑎᑐᑦ ᐅᖃᐅᓯᖅ ᐊᒻᒪᓗ ᑎᑎᕋᐅᓯᖅ ᐊᑐᖅᑕᐅᕙᒃᑐᖅ ᓄᓇᓕᖕᓂ",
         "xzq wvv kjq plm zzx qqw vnb mmx zoq trw ghk bnm",
     ):
         assert detect_language(text, profiles) is None, text[:20]
+
+
+def test_single_script_shortcut_breadth():
+    """T1 breadth: single-dominant-language scripts decided by block
+    histogram (Indic family, Sinhala, Lao, Myanmar, Georgian, Armenian,
+    Ethiopic, Khmer) — novel sentences, not training data."""
+    from rika_ray.stages.lang import _script_shortcut
+
+    cases = {
+        "bn": "সকালে স্টেশনটি মানুষ এবং শব্দে ভরে যায়।",
+        "ta": "காலையில் நிலையம் மக்களாலும் சத்தத்தாலும் நிறைகிறது.",
+        "te": "ఉదయం స్టేషన్ ప్రజలతో మరియు శబ్దంతో నిండిపోతుంది.",
+        "kn": "ಬೆಳಿಗ್ಗೆ ನಿಲ್ದಾಣವು ಜನರಿಂದ ಮತ್ತು ಶಬ್ದದಿಂದ ತುಂಬುತ್ತದೆ.",
+        "ml": "രാവിലെ സ്റ്റേഷൻ ആളുകളും ശബ്ദവും കൊണ്ട് നിറയുന്നു.",
+        "si": "උදෑසන දුම්රිය ස්ථානය මිනිසුන්ගෙන් හා ශබ්දයෙන් පිරී යයි.",
+        "pa": "ਸਵੇਰੇ ਸਟੇਸ਼ਨ ਲੋਕਾਂ ਅਤੇ ਰੌਲੇ ਨਾਲ ਭਰ ਜਾਂਦਾ ਹੈ।",
+        "gu": "સવારે સ્ટેશન લોકો અને અવાજથી ભરાઈ જાય છે.",
+        "or": "ସକାଳେ ଷ୍ଟେସନ ଲୋକ ଏବଂ ଶବ୍ଦରେ ଭରିଯାଏ।",
+        "lo": "ຕອນເຊົ້າສະຖານີເຕັມໄປດ້ວຍຜູ້ຄົນແລະສຽງດັງ.",
+        "my": "မနက်ခင်းတွင် ဘူတာရုံသည် လူများနှင့် ဆူညံသံများဖြင့် ပြည့်နေသည်။",
+        "ka": "დილით სადგური ივსება ხალხით და ხმაურით.",
+        "hy": "Առավոտյան կայարանը լցվում է մարդկանցով եւ աղմուկով։",
+        "am": "በጠዋት ጣቢያው በሰዎች እና በጩኸት ይሞላል።",
+        "km": "នៅពេលព្រឹក ស្ថានីយ៍ពេញទៅដោយមនុស្ស និងសំឡេង។",
+        # the pre-existing shortcut languages must be unaffected
+        "th": "สถานีรถไฟเต็มไปด้วยผู้คนในตอนเช้า",
+        "hi": "सुबह स्टेशन लोगों और शोर से भर जाता है।",
+        "el": "Το πρωί ο σταθμός γεμίζει με κόσμο και θόρυβο.",
+        "he": "בבוקר התחנה מתמלאת באנשים וברעש.",
+    }
+    for want, text in cases.items():
+        assert _script_shortcut(text) == want, want
+    # mixed/Latin text never shortcuts
+    assert _script_shortcut("plain english text with no other script") is None
