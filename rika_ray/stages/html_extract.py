@@ -16,7 +16,12 @@ same rules — see ``docgen.expected_html_content``):
    subtrees contribute no text.
 2. A *block* is the text run between block-level tag boundaries (``p``,
    ``div``, ``h1``-``h6``, ``li``, ``td``, …). Inline tags (``a``,
-   ``span``, ``b``, …) do not break blocks.
+   ``span``, ``b``, …) do not break blocks. A ``table`` subtree FUSES
+   into one block (cells separated by single spaces): per-cell fragments
+   would individually fail the word gate, so without fusion a data table
+   inside an article silently vanishes — while a nav/menu table stays
+   link-dense and is still dropped by rule 4 (Boilerpipe's table
+   handling, re-expressed).
 3. Per block: ``text`` = whitespace-normalized run (collapse runs of
    whitespace to one space, strip); ``n_words`` = split count;
    ``link_density`` = words inside ``<a>`` / ``n_words``.
@@ -61,6 +66,7 @@ class _BlockParser(HTMLParser):
         self._cur = _Block()
         self._skip_depth = 0
         self._anchor_depth = 0
+        self._table_depth = 0
         self._in_title = False
         self.title_parts: list[str] = []
 
@@ -81,8 +87,14 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth += 1
+        if tag == "table":
+            # table fusion: open a fused region (nested tables extend it)
+            if self._table_depth == 0:
+                self._flush()
+            self._table_depth += 1
+            return
         if tag in _BLOCK_TAGS:
-            self._flush()
+            self._boundary()
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
@@ -93,11 +105,24 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag == "table":
+            self._table_depth = max(0, self._table_depth - 1)
+            if self._table_depth == 0:
+                self._flush()
+            return
         if tag in _BLOCK_TAGS:
-            self._flush()
+            self._boundary()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in _BLOCK_TAGS:
+            self._boundary()
+
+    def _boundary(self) -> None:
+        """Block-tag boundary: a flush outside a table, a single-space
+        cell/row separator inside one (the fused-region accumulation)."""
+        if self._table_depth:
+            self._cur.parts.append(" ")
+        else:
             self._flush()
 
     def handle_data(self, data: str) -> None:

@@ -580,3 +580,51 @@ def test_odt_bad_zip_raises():
 
     with _pytest.raises(OfficeParseError):
         extract_odt(b"PK\x03\x04 not really a zip")
+
+
+def test_html_table_fusion():
+    """M4: a data table inside main content fuses into ONE block (cells
+    space-separated) so it survives the word gate, while a link-dense nav
+    table still drops; both tokenizer paths agree."""
+    from rika_ray.stages.html_extract import (
+        extract_html,
+        extract_html_reference,
+    )
+
+    rows = "".join(
+        f"<tr><td>City name {i}</td><td>Population {30000 + i}</td>"
+        f"<td>Region east {i}</td></tr>"
+        for i in range(4)
+    )
+    html = (
+        "<html><body><div><p>This is the leading article paragraph with "
+        "plenty of words to dominate the page content and be chosen.</p>"
+        f"<table><tr><th>City</th><th>Population</th><th>Region</th></tr>"
+        f"{rows}</table>"
+        "<p>Closing paragraph with several more words of running text to "
+        "keep density high.</p></div></body></html>"
+    )
+    c, spans, _ = extract_html(html)
+    assert extract_html_reference(html)[0] == c  # tokenizer parity
+    assert "City name 0 Population 30000" in c
+    assert c.count("\n") == 2  # para, fused table, para
+
+    nav = (
+        "<html><body><p>Real article paragraph with plenty of ordinary "
+        "words to pass the classifier word gate easily.</p>"
+        "<table><tr>"
+        + "".join(
+            f"<td><a href=/x{i}>menu link {i}</a></td>" for i in range(6)
+        )
+        + "</tr></table></body></html>"
+    )
+    c_nav, _, _ = extract_html(nav)
+    assert "menu link" not in c_nav  # link-dense table still boilerplate
+
+    # a tiny table (under the word gate) stays dropped even fused
+    tiny = (
+        "<html><body><p>Real article paragraph with plenty of ordinary "
+        "words to pass the classifier word gate easily.</p>"
+        "<table><tr><td>a</td><td>b</td></tr></table></body></html>"
+    )
+    assert "a b" not in extract_html(tiny)[0]
