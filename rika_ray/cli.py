@@ -147,9 +147,15 @@ def main(argv: list[str] | None = None) -> int:
             t for t in classification.targets if t.startswith(("http://", "https://"))
         ]
         # crawl archives route through the WARC reader (one row per crawl
-        # record); every other file is one document
+        # record); every other file is one document. Common Crawl derived
+        # files (*.warc.wet.gz extracted-text, *.warc.wat.gz metadata) are
+        # WARC-framed too — the reader's record-type filter handles the
+        # rest (conversion records carried, metadata records skipped).
         warc_targets = [
-            t for t in file_targets if t.endswith((".warc", ".warc.gz"))
+            t for t in file_targets
+            if t.endswith(
+                (".warc", ".warc.gz", ".wet", ".wet.gz", ".wat", ".wat.gz")
+            )
         ]
         file_targets = [t for t in file_targets if t not in warc_targets]
         parts = []

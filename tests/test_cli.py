@@ -159,3 +159,29 @@ def test_textual_web_formats_through_cli(tmp_path):
     assert md["metadata"]["dc:title"] == "My Title"
     svg = by_type["image/svg+xml"]
     assert svg["text"] == "Diagram\nLabel text\n"
+
+
+def test_wet_target_routes_through_warc_reader(tmp_path):
+    """Common Crawl *.warc.wet.gz files (conversion records) route through
+    the WARC reader and extract as plain text."""
+    import gzip
+
+    body = ("Extracted page text with enough words to be a normal "
+            "document for the pipeline.\n").encode()
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://example.test/wetpage\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}".encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    p = tmp_path / "seg-00001.warc.wet.gz"
+    p.write_bytes(gzip.compress(rec, mtime=0))
+    res = _run_cli(["-f", "jj", str(p)])
+    assert res.returncode == 0, res.stderr[-500:]
+    rows = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["metadata"]["rika:data-source"] == "https://example.test/wetpage"
+    assert "Extracted page text" in rows[0]["text"]
