@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 16
+CORPUS_VERSION = 17
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -517,6 +517,37 @@ def generate_corpus(
             "html",
             payload,
             content=docgen.expected_html_content(paras),
+            content_type="text/html; charset=UTF-8",
+            media_type="text/html",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8", "dc:title": title},
+            claimed_lang="en",
+        )
+
+    # --- html_table: article with a DATA TABLE between paragraphs — the
+    # table must survive as one fused block (Boilerpipe table fusion), the
+    # nav must still drop
+    for k in range(max(2, n_per_family)):
+        title = rng.choice(ARTICLE_TOPICS)
+        paras = [
+            _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5))
+            for _ in range(2)
+        ]
+        table_rows = [["Item", "Count", "Status"]] + [
+            [
+                f"{rng.choice(WORD_POOL['en'])} {rng.choice(WORD_POOL['en'])}",
+                str(rng.randint(10, 9999)),
+                rng.choice(["open", "closed", "pending"]),
+            ]
+            for _ in range(4 + (k % 3))
+        ]
+        links = rng.sample(NAV_LINKS, 6)
+        payload = docgen.build_html_table_page(title, paras, table_rows, links)
+        b.add(
+            "html-table",
+            payload,
+            content=docgen.expected_html_table_content(paras, table_rows),
             content_type="text/html; charset=UTF-8",
             media_type="text/html",
             charset="UTF-8",

@@ -708,6 +708,54 @@ def build_html_page(
     return page.encode(charset)
 
 
+def build_html_table_page(
+    title: str,
+    paragraphs: list[str],
+    table_rows: list[list[str]],
+    nav_links: list[str],
+) -> bytes:
+    """An article page with a DATA TABLE between its paragraphs plus the
+    usual nav boilerplate — FIXTURES.md html_table. The extractor must
+    keep the paragraphs AND the table fused into one block (cells joined
+    by single spaces), and drop the nav."""
+    nav = "".join(
+        f'<li><a href="/{_slug(t)}">{_xml_escape(t)}</a></li>'
+        for t in nav_links
+    )
+    rows = "".join(
+        "<tr>" + "".join(f"<td>{_xml_escape(c)}</td>" for c in cells) + "</tr>"
+        for cells in table_rows
+    )
+    paras = list(paragraphs)
+    article = (
+        f"<p>{_xml_escape(paras[0])}</p>\n<table>{rows}</table>\n"
+        + "".join(f"<p>{_xml_escape(p)}</p>\n" for p in paras[1:])
+    )
+    page = f"""<!DOCTYPE html>
+<html><head><title>{_xml_escape(title)}</title></head>
+<body>
+<nav><ul>{nav}</ul></nav>
+<article>
+{article}</article>
+</body></html>"""
+    return page.encode("utf-8")
+
+
+def expected_html_table_content(
+    paragraphs: list[str], table_rows: list[list[str]]
+) -> str:
+    """Normative layout for the table page: first paragraph, the fused
+    table block (all cells, space-joined, row order), then the remaining
+    paragraphs."""
+    fused = normalize_block_text(
+        " ".join(c for cells in table_rows for c in cells)
+    )
+    blocks = [normalize_block_text(paragraphs[0]), fused] + [
+        normalize_block_text(p) for p in paragraphs[1:]
+    ]
+    return "\n".join(blocks)
+
+
 def build_link_farm_page(title: str, links: list[str]) -> bytes:
     """A page with no dominant text block (FIXTURES.md html_no_main)."""
     items = "".join(f'<li><a href="/{_slug(t)}">{_xml_escape(t)}</a></li>' for t in links)
