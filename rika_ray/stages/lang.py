@@ -291,6 +291,16 @@ def _script_shortcut(text: str) -> str | None:
     if han >= 0.3:
         return "zh"
     if arabic >= 0.3:
+        # Perso-Arabic refinement by marker letters: Urdu's retroflex
+        # set (ٹ ڈ ڑ ں ے ہ) never appears in Persian or Arabic; the
+        # Perso-Arabic additions (گ چ پ ژ) plus the fa/ur kaf/ye forms
+        # (ک U+06A9, ی U+06CC vs Arabic ك U+0643, ي U+064A) separate
+        # Persian from Arabic. ≥2 occurrences guard against stray
+        # loanwords.
+        if np.isin(non_ascii, _UR_MARKS).sum() >= 2:
+            return "ur"
+        if np.isin(non_ascii, _FA_MARKS).sum() >= 2:
+            return "fa"
         return "ar"
     # Single-dominant-language scripts: the block histogram IS the answer.
     # Where a script hosts several languages the dominant web language is
@@ -302,6 +312,15 @@ def _script_shortcut(text: str) -> str | None:
             return code
     return None
 
+
+def _marks(chars: str):
+    import numpy as np
+
+    return np.frombuffer(chars.encode("utf-32-le"), dtype=np.uint32)
+
+
+_UR_MARKS = _marks("ٹڈڑںےہ")
+_FA_MARKS = _marks("گچپژکی")
 
 # (block-lo, block-hi, ISO 639-1) — consulted in order
 _SINGLE_SCRIPTS = (

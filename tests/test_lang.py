@@ -153,6 +153,10 @@ def test_single_script_shortcut_breadth():
         "hy": "Առավոտյան կայարանը լցվում է մարդկանցով եւ աղմուկով։",
         "am": "በጠዋት ጣቢያው በሰዎች እና በጩኸት ይሞላል።",
         "km": "នៅពេលព្រឹក ស្ថានីយ៍ពេញទៅដោយមនុស្ស និងសំឡេង។",
+        # Perso-Arabic marker-letter refinement
+        "fa": "صبح ایستگاه پر از مردم و سر و صدا می‌شود. مردم با نان راه می‌روند.",
+        "ur": "صبح کے وقت اسٹیشن لوگوں اور شور سے بھر جاتا ہے۔ لوگ روٹی لے کر چلتے ہیں۔",
+        "ar": "في الصباح تمتلئ المحطة بالناس والضجيج. يمشي الناس مع الخبز والصحف.",
         # the pre-existing shortcut languages must be unaffected
         "th": "สถานีรถไฟเต็มไปด้วยผู้คนในตอนเช้า",
         "hi": "सुबह स्टेशन लोगों और शोर से भर जाता है।",
