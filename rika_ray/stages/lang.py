@@ -302,6 +302,13 @@ def _script_shortcut(text: str) -> str | None:
         if np.isin(non_ascii, _FA_MARKS).sum() >= 2:
             return "fa"
         return "ar"
+    # Cyrillic hosts several trigram-modeled languages (ru/uk) — only
+    # Serbian is decided here, by its unique letters (ј љ њ ћ ђ џ appear
+    # in no other Cyrillic orthography); everything else falls through to
+    # the trigram model.
+    cyrillic = ((non_ascii >= 0x0400) & (non_ascii <= 0x04FF)).sum() / n
+    if cyrillic >= 0.3 and np.isin(non_ascii, _SR_MARKS).sum() >= 2:
+        return "sr"
     # Single-dominant-language scripts: the block histogram IS the answer.
     # Where a script hosts several languages the dominant web language is
     # reported (Devanagari → hi, not mr/ne; Bengali → bn, not as;
@@ -321,6 +328,7 @@ def _marks(chars: str):
 
 _UR_MARKS = _marks("ٹڈڑںےہ")
 _FA_MARKS = _marks("گچپژکی")
+_SR_MARKS = _marks("јљњћђџЈЉЊЋЂЏ")
 
 # (block-lo, block-hi, ISO 639-1) — consulted in order
 _SINGLE_SCRIPTS = (

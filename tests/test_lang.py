@@ -153,6 +153,8 @@ def test_single_script_shortcut_breadth():
         "hy": "Առավոտյան կայարանը լցվում է մարդկանցով եւ աղմուկով։",
         "am": "በጠዋት ጣቢያው በሰዎች እና በጩኸት ይሞላል።",
         "km": "នៅពេលព្រឹក ស្ថានីយ៍ពេញទៅដោយមនុស្ស និងសំឡេង។",
+        # Cyrillic: Serbian via its unique letters; ru/uk stay trigram
+        "sr": "Воз је стигао на станицу касно и путници су чекали са картама у рукама док је киша падала.",
         # Perso-Arabic marker-letter refinement
         "fa": "صبح ایستگاه پر از مردم و سر و صدا می‌شود. مردم با نان راه می‌روند.",
         "ur": "صبح کے وقت اسٹیشن لوگوں اور شور سے بھر جاتا ہے۔ لوگ روٹی لے کر چلتے ہیں۔",
