@@ -209,6 +209,50 @@ _SEED_TEXT = {
         "malam tiba, lampu dinyalakan satu per satu dan jalan-jalan "
         "kembali sunyi."
     ),
+    "bg": (
+        "В града сутрините започват със звука на влаковете и бавното "
+        "отваряне на малките магазини по главната улица. Хората носят "
+        "хляб и вестници, а въздухът мирише на дъжд, паднал през "
+        "нощта. До обяд площадите са пълни със студенти и чиновници, "
+        "които обядват на каменните стъпала и говорят за новините на "
+        "деня. Когато дойде вечерта, лампите светват една по една и "
+        "улиците отново стават тихи."
+    ),
+    "hr": (
+        "U gradu jutra počinju zvukom vlakova i polaganim otvaranjem "
+        "malih trgovina duž glavne ulice. Ljudi nose kruh i novine, a "
+        "zrak miriše na kišu koja je pala tijekom noći. Do podneva "
+        "trgovi su puni studenata i službenika koji ručaju na kamenim "
+        "stubama i razgovaraju o vijestima dana. Kad dođe večer, "
+        "svjetiljke se pale jedna po jedna i ulice ponovno postaju "
+        "tihe."
+    ),
+    "et": (
+        "Linnas algavad hommikud rongide heliga ja väikeste poodide "
+        "aeglase avamisega peatänava ääres. Inimesed kannavad leiba ja "
+        "ajalehti ning õhk lõhnab öösel sadanud vihma järele. "
+        "Keskpäevaks on väljakud täis üliõpilasi ja ametnikke, kes "
+        "söövad lõunat kivitrepil ja räägivad päevauudistest. Kui "
+        "saabub õhtu, süttivad lambid ükshaaval ja tänavad muutuvad "
+        "taas vaikseks."
+    ),
+    "lt": (
+        "Mieste rytai prasideda traukinių garsu ir lėtu mažų "
+        "parduotuvių atidarymu pagrindinėje gatvėje. Žmonės nešasi "
+        "duoną ir laikraščius, o oras kvepia naktį iškritusiu lietumi. "
+        "Iki vidurdienio aikštės pilnos studentų ir tarnautojų, kurie "
+        "pietauja ant akmeninių laiptų ir kalba apie dienos naujienas. "
+        "Atėjus vakarui, žibintai užsidega vienas po kito ir gatvės "
+        "vėl tampa tylios."
+    ),
+    "lv": (
+        "Pilsētā rīti sākas ar vilcienu skaņu un mazo veikalu lēnu "
+        "atvēršanos gar galveno ielu. Cilvēki nes maizi un avīzes, un "
+        "gaiss smaržo pēc naktī nolijušā lietus. Līdz pusdienlaikam "
+        "laukumi ir pilni ar studentiem un ierēdņiem, kuri pusdieno uz "
+        "akmens kāpnēm un runā par dienas ziņām. Kad pienāk vakars, "
+        "lampas iedegas cita pēc citas, un ielas atkal kļūst klusas."
+    ),
 }
 
 # Function-word inventories for the languages without a corpus WORD_POOL —
@@ -251,6 +295,21 @@ _FUNCTION_WORDS = {
     "id": "yang dan di ke dari untuk dengan pada adalah ini itu tidak "
           "ada akan sudah telah bisa dapat dalam atau tetapi jika "
           "karena ketika kami kita mereka dia saya kamu juga oleh",
+    "bg": "и в на не че с от за да се по как това е са бяха той тя ние "
+          "вие те но или така вече при между под над без през когато "
+          "ако защото беше било този тази тези него нея тях нас вас",
+    "hr": "i u na je se da su za s od ne kao ali ili već do po o pri "
+          "kroz kada ako jer bio bila bilo biti ovaj ova ovo taj ta to "
+          "on ona mi vi oni također još prije poslije između bez prema",
+    "et": "ja on ei et ta oli aga olla mis see kui nad mida tema selle "
+          "koos nagu ka juba nii ainult veel siis sest kas me te ma sa "
+          "nüüd ilma pärast enne vahel üle alla kes kus oma välja",
+    "lt": "ir yra ne kad su iš į po o kaip bet arba jau prie tarp per "
+          "kai jei nes buvo būti šis ši tai jis ji mes jūs jie taip "
+          "pat dar prieš be pagal apie iki nuo labai gali turi",
+    "lv": "un ir ne ka ar no uz pēc kā bet vai jau pie starp caur kad "
+          "ja jo bija būt šis šī tas viņš viņa mēs jūs viņi arī vēl "
+          "pirms bez par līdz kopš ļoti var savu tikai",
 }
 
 # Script-histogram shortcut: ja/zh/ko/ar/el/he/th/hi are decided by Unicode
@@ -477,6 +536,17 @@ def detect_language(
     lang, margin = profiles.scored(counts)
     if margin < MIN_MARGIN:
         return None
+    if lang in ("ru", "bg"):
+        # orthography tie-break for the hardest Cyrillic pair: Bulgarian
+        # NEVER uses ы/э/ё, so their presence is decisive for Russian;
+        # Bulgarian's vocalic ъ (съ-, ще бъде, първи) is everywhere while
+        # Russian's hard sign is rare — ≥2 occurrences in the detection
+        # window is decisive for Bulgarian. NB margins decide the rest.
+        window = stripped[:_DETECT_PREFIX]
+        if any(c in window for c in "ыэёЫЭЁ"):
+            return "ru"
+        if window.count("ъ") + window.count("Ъ") >= 2:
+            return "bg"
     return lang
 
 

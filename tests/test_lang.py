@@ -82,6 +82,16 @@ def test_ten_language_breadth_on_novel_text():
         "id": "Kereta tiba terlambat di stasiun dan para penumpang "
               "menunggu dengan tiket di tangan sementara hujan turun di "
               "peron kayu.",
+        "bg": "Влакът пристигна на гарата със закъснение и пътниците "
+              "чакаха с билети в ръце, докато дъждът валеше.",
+        "hr": "Vlak je stigao na kolodvor kasno i putnici su čekali s "
+              "kartama u rukama dok je kiša padala na peron.",
+        "et": "Rong saabus jaama hilja ja reisijad ootasid piletitega "
+              "käes, samal ajal kui vihm langes puidust perroonile.",
+        "lt": "Traukinys į stotį atvyko vėluodamas, o keleiviai laukė su "
+              "bilietais rankose, kol lietus krito ant medinio perono.",
+        "lv": "Vilciens stacijā ieradās vēlu, un pasažieri gaidīja ar "
+              "biļetēm rokās, kamēr lietus lija uz koka perona.",
     }
     for expect, text in novel.items():
         assert detect_language(text, profiles) == expect, expect
