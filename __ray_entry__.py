@@ -299,8 +299,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_value_class_tally": (
             "SELECT o_orderpriority, "
-            "SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS n_high, "
-            "SUM(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS n_low "
+            "SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)::BIGINT AS n_high, "
+            "SUM(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END)::BIGINT AS n_low "
             "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "part_type_stats": (

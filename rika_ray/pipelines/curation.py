@@ -40,7 +40,6 @@ def curated_docs(
     per_source_cap: int = 20,
 ) -> ray.data.Dataset:
     from rika_ray.pipelines.relational import _session_parts
-    from rika_ray.pool import cluster_cpus
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
@@ -67,9 +66,22 @@ def curated_docs(
             }
         )
 
+    # materialized ONCE: two downstream branches (survivor aggregation and
+    # the meta join side) consume it — unmaterialized, Ray's lazy plan
+    # would re-run the whole read+tokenize+hash scan per branch
     hashed = docs.map_batches(
         _filter_hash, batch_format="pyarrow", batch_size=2048
-    )
+    ).materialize()
+    n_hashed = hashed.count()
+    if n_hashed == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        )
 
     survivors = (
         hashed.select_columns(["doc_id", "content_hash", "content_hash2"])
@@ -80,9 +92,15 @@ def curated_docs(
 
     # survivors ⨝ (doc_id, source): hash join, both sides filtered-corpus-
     # sized. The join coalesces the key pair under the LEFT name (doc_id).
+    # Partitions clamped by the known row count — unclamped
+    # max(4, cluster_cpus()) on a small filtered corpus produces empty
+    # partitions that lose schema and crash the join finalize (the
+    # neardup_clusters round-3 bug; see dedup._join_parts)
+    from rika_ray.pipelines.dedup import _join_parts
+
     meta = hashed.select_columns(["doc_id", "source"])
     joined = survivors.join(
-        meta, "inner", num_partitions=max(4, cluster_cpus()),
+        meta, "inner", num_partitions=_join_parts(n_hashed),
         on=("doc_id",), right_on=("doc_id",),
     )
 

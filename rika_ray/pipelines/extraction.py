@@ -100,9 +100,21 @@ class FusedExtractStage:
         )
 
 
+# the only input columns the extraction pipeline consumes — everything else
+# (e.g. a prior run's text/lang columns) is pruned AT THE READ so it never
+# leaves storage. At 100 TB an unpruned read of a populated prior-extraction
+# column roughly doubles scan + object-store traffic on the hottest pipeline
+# (round-3 verdict item 3).
+EXTRACTION_INPUT_COLUMNS = ("url", "warc_ts", "html")
+
+
 def read_web_pages(path: str, **kwargs) -> ray.data.Dataset:
-    """Source S1: the web_pages Parquet table. Column pruning happens at
-    the read when callers pass ``columns=``."""
+    """Source S1: the web_pages Parquet table, pruned at the read to the
+    columns the extraction pipeline consumes. Pass ``columns=None`` to
+    read everything, or a list to prune differently."""
+    kwargs.setdefault("columns", list(EXTRACTION_INPUT_COLUMNS))
+    if kwargs["columns"] is None:
+        kwargs.pop("columns")
     return ray.data.read_parquet(path, **kwargs)
 
 

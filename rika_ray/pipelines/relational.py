@@ -339,49 +339,83 @@ def shipping_priority(
     """TPC-H-Q3-shaped: customer ⨝ orders ⨝ lineitem → top-k undelivered
     orders by revenue for one market segment.
 
-    Scale shape: the qualifying-orders side (segment-filtered customers ×
-    date-filtered orders) is reduced driver-side to ONE
-    ``{o_orderkey: o_orderdate}`` dict shipped via ``ray.put``; each
-    lineitem batch filters on shipdate, drops non-qualifying orderkeys, and
-    emits in-batch partial revenue sums — the shuffle moves partials per
-    (batch × qualifying order), never lineitem rows. Partitioning
-    assumption (documented like supplier_revenue_by_nation): the
-    date+segment-selective order set fits worker memory; beyond that, swap
-    the broadcast for a key-bucketed shuffle join on l_orderkey."""
+    Scale shape (round-4 rewrite of a driver-side broadcast — the date
+    cutoff keeps most of orders, so the old ``orders.to_pandas()`` was a
+    corpus-scale driver materialization): both joins are distributed HASH
+    joins, same shape as ``returned_items``. The segment filter prunes the
+    customer side in a vectorized batch pass straight off the read; the
+    date-filtered orders join the segment keys; lineitem is shipdate-
+    filtered and pre-aggregated to one partial row per (batch, orderkey)
+    BEFORE its join, so the wide shuffle moves partials, never lineitem
+    rows. Nothing table-sized touches the driver. Join partition counts
+    clamp by the slim side's materialized count (tiny segment slices on a
+    many-CPU cluster otherwise hit the empty-partition schema-loss crash —
+    see dedup._join_parts)."""
+    from rika_ray.pipelines.dedup import _join_parts
+
     cutoff_ts = pd.Timestamp(cutoff)
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_keys = set(
-        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist()
+
+    def _seg_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_mktsegment"], pa.scalar(segment))
+        return pa.table({"c_custkey": batch["c_custkey"].filter(keep)})
+
+    cust = (
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(_seg_keys, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # slim: one int64 column, segment-selective
     )
+    n_cust = cust.count()
+    if n_cust == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+
+    def _dated(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["o_orderdate"], pa.scalar(cutoff_ts))
+        return batch.filter(keep)
+
     orders = _rp(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).to_pandas()
-    qual = orders[
-        (orders["o_orderdate"] < cutoff_ts)
-        & orders["o_custkey"].isin(seg_keys)
-    ]
-    order_dates = dict(zip(qual["o_orderkey"], qual["o_orderdate"]))
-    lookup_ref = ray.put(order_dates)
+    ).map_batches(_dated, batch_format="pyarrow", batch_size=65536)
 
-    class RevenuePartial:
-        def __init__(self):
-            self.dates = ray.get(lookup_ref)
+    qual = (
+        orders.join(
+            cust, "inner", num_partitions=_join_parts(n_cust),
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "o_orderdate"])
+        .materialize()  # slim qualifying-order rows, result-bounded side
+    )
+    n_qual = qual.count()
+    if n_qual == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[
-                (batch["l_shipdate"] > cutoff_ts)
-                & batch["l_orderkey"].isin(self.dates.keys())
-            ]
-            revenue = b["l_extendedprice"].to_numpy() * (
-                1.0 - b["l_discount"].to_numpy()
-            )
-            return (
-                pd.DataFrame(
-                    {"l_orderkey": b["l_orderkey"], "revenue": revenue}
-                )
-                .groupby("l_orderkey", as_index=False, sort=False)["revenue"]
-                .sum()
-            )
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["l_shipdate"], pa.scalar(cutoff_ts))
+        batch = batch.filter(keep)
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "revenue": g["rev_sum"]}
+        )
 
     agg = (
         _rp(
@@ -389,20 +423,27 @@ def shipping_priority(
             "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         )
-        .map_batches(RevenuePartial, batch_format="pandas", batch_size=65536,
-                     concurrency=pool_spec(), num_cpus=0.5)
+        .map_batches(_rev_partial, batch_format="pyarrow", batch_size=65536)
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
 
-    def _attach_date(batch: pd.DataFrame) -> pd.DataFrame:
-        dates = ray.get(lookup_ref)
-        batch["revenue"] = batch["revenue"].round(2)
-        batch["o_orderdate"] = batch["l_orderkey"].map(dates)
-        return batch
+    joined = agg.join(
+        qual, "inner", num_partitions=_join_parts(n_qual),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue": pc.round(batch["revenue"], 2),
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
 
     return (
-        agg.map_batches(_attach_date, batch_format="pandas")
+        joined.map_batches(_project, batch_format="pyarrow")
         .sort([("revenue"), ("l_orderkey")], descending=[True, False])
         .limit(k)
     )

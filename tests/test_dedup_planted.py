@@ -281,3 +281,41 @@ def test_neardup_clusters_chain_transitivity(ray_session, tmp_path_factory):
     assert rows[0] == rows[6] == rows[7] == 0  # chain collapses to min id
     assert rows[3] == rows[8] == 3
     assert set(rows) == {0, 3, 6, 7, 8}  # singles don't appear
+
+
+def test_neardup_clusters_at_32_cpus(planted_dir):
+    """Regression for the round-3 driver crash: ``neardup_clusters`` at
+    ``num_cpus=32`` (the driver's config). Unclamped join partition counts
+    exceeded the tiny label-table row count, empty right-side partitions
+    lost their schema, and Ray's hash-shuffle join finalize raised
+    ``ArrowInvalid: No match … FieldRef.Name(lnode)`` — only at 32 CPUs;
+    8 passed. Runs in a SUBPROCESS because the session fixture pins 4."""
+    import json
+    import subprocess
+    import sys
+
+    script = (
+        "import ray, json\n"
+        "ray.init(address='local', num_cpus=32, include_dashboard=False,\n"
+        "         logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "from rika_ray.pipelines.dedup import neardup_clusters\n"
+        f"rows = neardup_clusters({str(planted_dir)!r}).take_all()\n"
+        "print('RESULT:' + json.dumps(sorted((r['doc_id'], r['cluster_id'])"
+        " for r in rows)))\n"
+        "ray.shutdown()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = {tuple(p) for p in json.loads(line[0][len("RESULT:"):])}
+    # planted: 20 ~ 0, 21 == 2, 22 ~ 1 → three 2-doc clusters labeled by min
+    assert got == {(0, 0), (20, 0), (1, 1), (22, 1), (2, 2), (21, 2)}
