@@ -5,18 +5,16 @@ verification, embedding-cosine near-dup.
 Shuffle discipline (ray_guide.md "Aggregation at scale"):
 - exact dedup: content-hash column added vectorized, then ONE hash-shuffle
   ``groupby(hash)`` + per-group min — no pairwise work.
-- MinHash-LSH: the corpus is scanned ONCE into slim band rows
-  ``(doc_id, band, band_hash)`` — ~20 bytes/row, no signature payload —
-  persisted to partitioned parquet (the checkpoint layout), then a
-  distributed groupby-count finds COLLIDING buckets. Only hot-bucket rows
-  (candidate-set-sized) flow into pairing; signatures are recomputed for
-  candidate documents only and joined back per pair. Nothing corpus-sized
-  ever reaches the driver or an actor's heap — driver-resident state is
-  bounded by the candidate pair set, i.e. by the result itself.
-- n-gram Jaccard verification: co-partitioned on doc_id — candidate pairs
-  explode to (doc_id, pair_id) side rows, shingle sets are computed only
-  for candidate documents, and two hash-shuffle groupbys (doc_id, then
-  pair_id) bring each pair's two shingle sets together. No text broadcast.
+- MinHash-LSH: the corpus is scanned ONCE into packed 512-byte signatures;
+  slim band rows ``(doc_id, band, band_hash)`` derive from them without
+  re-reading text. Pairing is a SELF-JOIN of band rows on the bucket key,
+  signature attach is ONE hash join, est is one groupby — three all-to-all
+  exchanges total, every one distributed. Nothing corpus-proportional ever
+  reaches the driver (at web dup rates the pair set itself is
+  corpus-proportional, so even "result-sized" driver state is forbidden).
+- n-gram Jaccard verification: same join-based attach — shingle blobs for
+  all docs ride two hash joins onto the pair rows. No text broadcast, no
+  candidate id broadcast.
 - SimHash: bit votes computed with numpy unpack, no per-bit Python loops.
 - embedding near-dup: random-hyperplane LSH buckets, pairwise cosine only
   within a bucket; an exact all-pairs variant exists as the oracle
@@ -34,7 +32,6 @@ is systematically won by the smallest shingle hashes (measured agreement
 from __future__ import annotations
 
 import os
-import tempfile
 
 import numpy as np
 import pandas as pd
@@ -243,18 +240,44 @@ def _unpack_sigs(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.frombuffer(b"".join(blobs), dtype="<u8").reshape(-1, N_PERM)
 
 
+def _sig_task_fn(seed: int):
+    """TASK-based signature kernel: the hasher's init is a few numpy
+    arrays (~µs) cached per worker process, so an actor pool would pay
+    startup for nothing. Module-level cache → one instance per (worker,
+    seed), reused across queries in the same session."""
+
+    def _sig_task(batch: pa.Table) -> pa.Table:
+        key = ("minhash_sig", seed)
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _STAGE_CACHE[key] = MinHashSigStage(seed=seed)
+        return stage(batch)
+
+    return _sig_task
+
+
+_STAGE_CACHE: dict = {}
+
+
 def _join_parts(*counts: int) -> int:
-    """Hash-join partition count clamped so the SMALLER side averages ≥8
-    rows per partition (floor 1, cap = cluster width). Unclamped
-    ``max(4, cluster_cpus())`` on a tiny side produces empty right-side
-    partitions whose blocks lose their schema, and Ray's hash-shuffle join
-    finalize then dies in pyarrow with ``No match … for FieldRef.Name(…)``
-    — reproduced at num_cpus=32 with a ~50-row label table (round-3
-    CORRECTNESS run). Callers pass the known (materialized) row counts."""
+    """Hash-join partition count clamped so the SMALLER side averages
+    ≥4096 rows per partition (floor 1, cap = cluster width). Two reasons:
+
+    - CORRECTNESS: unclamped ``max(4, cluster_cpus())`` on a tiny side
+      produces empty right-side partitions whose blocks lose their schema,
+      and Ray's hash-shuffle join finalize then dies in pyarrow with
+      ``No match … for FieldRef.Name(…)`` — reproduced at num_cpus=32
+      with a ~50-row label table (round-3 CORRECTNESS run).
+    - LATENCY: each partition is one hash-shuffle aggregator actor;
+      measured fixed cost is ~0.4-0.6 s of startup going 4 → 32 actors on
+      result-sized inputs where parallelism buys nothing.
+
+    At cluster scale every real input exceeds 4096 × cluster width, so the
+    clamp vanishes there. Callers pass known (materialized) row counts."""
     from rika_ray.pool import cluster_cpus
 
     n = min(counts)
-    return max(1, min(max(4, cluster_cpus()), (n + 7) // 8))
+    return max(1, min(max(4, cluster_cpus()), (n + 4095) // 4096))
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -285,181 +308,156 @@ def minhash_lsh_pairs(
     FULLY DISTRIBUTED — on web corpora the near-dup pair set is
     corpus-proportional (30-50% dup rates), so nothing here may funnel
     through the driver or a broadcast id set (round-3 verdict item 5).
+    The driver only ever sees scalar counts.
 
-    1. ONE corpus scan → 512-byte packed signatures persisted to
-       partitioned parquet (``checkpoint_dir`` at cluster scale; a
-       scratch dir removed after the result materializes when None).
-       Band rows are DERIVED from the signature parquet with a cheap
-       vectorized pass — the text is never re-read or re-shingled.
-    2. Colliding buckets via distributed groupby-count; hot band rows
-       via a hash join against the hot-key set (collision-bounded).
-    3. Pairs form INSIDE ``groupby(band, band_hash).map_groups`` — hot
-       groups are individually small (one dup cluster) even when their
-       union is huge — then deduplicate across bands with one
-       groupby-count over (doc_a, doc_b).
-    4. Signatures attach by TWO hash joins (pairs ⨝ sigs ON doc_a, then
-       ON doc_b) — the slim 520-byte/doc signature table rides the
-       shuffle; an id-set broadcast would be corpus-proportional at web
-       dup rates and die at the driver. The est compare is one
-       vectorized numpy pass per batch.
+    Exactly THREE all-to-all exchanges after the scan (each hash-shuffle
+    op costs ~1-2 s in fixed aggregator startup regardless of data size,
+    so the stage count is the latency budget):
 
-    Join partition counts are clamped via ``_join_parts`` (empty-partition
-    schema loss, see there). The driver only ever sees scalar counts."""
+    1. ONE corpus scan → 512-byte packed signatures (task-based
+       ``map_batches`` — the per-task hasher init is a few numpy arrays,
+       cached per worker process, so an actor pool would cost startup
+       for nothing). Persisted to ``checkpoint_dir`` parquet when given
+       (the job's resume point at cluster scale), object-store-only
+       otherwise. Slim band rows (doc_id, band, band_hash) derive from
+       the signatures with a vectorized pass — text is never re-read.
+    2. SELF-JOIN of band rows on (band, band_hash): co-bucketed ordered
+       pairs fall out vectorized — no per-bucket Python, no separate
+       hot-bucket detection pass. Singleton buckets cost one self-row
+       each, dropped by the a<b filter. (Degenerate mega-buckets are
+       quadratic here exactly as in any LSH pairing; the embedding path
+       shows the capped-bucket variant — for minhash the uncapped set IS
+       the oracle-checkable semantics.)
+    3. Each pair explodes to two side rows; ONE hash join against the
+       signature table attaches each side's signature — the slim
+       520-byte/doc signature column rides the shuffle; an id-set
+       broadcast would be corpus-proportional at web dup rates and die
+       at the driver.
+    4. ``groupby(doc_a, doc_b)`` brings a pair's two signatures together
+       (and collapses duplicate discoveries from different bands); the
+       est compare is a 64-lane numpy op per pair, result-bounded.
+
+    Join partition counts are clamped via ``_join_parts`` (empty-
+    partition schema loss, see there)."""
     import ray
 
+    sig_scan = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _sig_task_fn(seed), batch_format="pyarrow", batch_size=256
+    )
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        scratch, ephemeral = checkpoint_dir, False
-    else:
-        scratch_root = "/tmp/rika_ray_scratch"
-        os.makedirs(scratch_root, exist_ok=True)
-        scratch = tempfile.mkdtemp(prefix="minhash-bands-", dir=scratch_root)
-        ephemeral = True
-
-    try:
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            MinHashSigStage,
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=pool_spec(),
-            num_cpus=0.5,
-            fn_constructor_kwargs={"seed": seed},
-        ).write_parquet(scratch)
-        # few fat blocks: Ray's sort-aggregate pays a large per-block
-        # constant, so a slim-row table wants block count ≈ pool width,
-        # not file count
+        sig_scan.write_parquet(checkpoint_dir)
         sigs = ray.data.read_parquet(
-            scratch, override_num_blocks=pool_spec()[1]
+            checkpoint_dir, override_num_blocks=pool_spec()[1]
         ).materialize()
-        n_docs = sigs.count()
-        if n_docs == 0:
-            return _empty_pairs("est_jaccard")
+    else:
+        sigs = sig_scan.materialize()
+    n_docs = sigs.count()
+    if n_docs == 0:
+        return _empty_pairs("est_jaccard")
 
-        hasher = _MinHasher(seed)
-        band_salt = hasher.band_salt  # closure state, pickled per task
+    hasher = _MinHasher(seed)
+    band_salt = hasher.band_salt  # closure state, pickled per task
 
-        def _band_rows(batch: pa.Table) -> pa.Table:
-            s = _unpack_sigs(batch["sig"]).T  # (N_PERM, n)
-            n = s.shape[1]
-            chunks = s.reshape(N_BANDS, ROWS_PER_BAND, -1)
-            out = _mix64(chunks[:, 0, :] ^ band_salt[:, None])
-            for r in range(1, ROWS_PER_BAND):
-                out = _mix64(out ^ chunks[:, r, :])
-            doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "doc_id": pa.array(np.repeat(doc_id, N_BANDS), pa.int64()),
-                    "band": pa.array(
-                        np.tile(np.arange(N_BANDS, dtype=np.int64), n),
-                        pa.int64(),
-                    ),
-                    # int64 bit-view: uint64 above int63 degrades Ray's
-                    # shuffle to pickled-object arrays
-                    "band_hash": pa.array(
-                        out.T.reshape(-1).view(np.int64), pa.int64()
-                    ),
-                }
-            )
-
-        band_rows = sigs.map_batches(_band_rows, batch_format="pyarrow")
-
-        # colliding buckets — distributed groupby-count, stays a Dataset
-        hot = (
-            band_rows.groupby(["band", "band_hash"])
-            .aggregate(Count(alias_name="n"))
-            .filter(expr="n >= 2")
-            .select_columns(["band", "band_hash"])
-            .materialize()
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        s = _unpack_sigs(batch["sig"]).T  # (N_PERM, n)
+        n = s.shape[1]
+        chunks = s.reshape(N_BANDS, ROWS_PER_BAND, -1)
+        out = _mix64(chunks[:, 0, :] ^ band_salt[:, None])
+        for r in range(1, ROWS_PER_BAND):
+            out = _mix64(out ^ chunks[:, r, :])
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_id, N_BANDS), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+                    pa.int64(),
+                ),
+                # int64 bit-view: uint64 above int63 degrades Ray's
+                # shuffle to pickled-object arrays
+                "band_hash": pa.array(
+                    out.T.reshape(-1).view(np.int64), pa.int64()
+                ),
+            }
         )
-        n_hot = hot.count()
-        if n_hot == 0:
-            return _empty_pairs("est_jaccard")
 
-        # hot band rows via hash join (collision-bounded output), pairs
-        # inside per-bucket map_groups, cross-band dedup via groupby
-        hot_rows = band_rows.join(
-            hot,
-            "inner",
-            num_partitions=_join_parts(n_hot),
-            on=("band", "band_hash"),
-            right_on=("band", "band_hash"),
+    band_rows = sigs.map_batches(_band_rows, batch_format="pyarrow")
+
+    # all co-bucketed ordered pairs in ONE vectorized hash join; the a<b
+    # filter drops self-rows and mirror duplicates. Exploded immediately
+    # into two (jkey, doc_a, doc_b) side rows per pair for the sig attach.
+    co = band_rows.join(
+        band_rows,
+        "inner",
+        num_partitions=_join_parts(n_docs * N_BANDS),
+        on=("band", "band_hash"),
+        right_on=("band", "band_hash"),
+        right_suffix="_b",
+    )
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "jkey": pa.array(np.concatenate([a, b]), pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            }
         )
-        pairs = (
-            hot_rows.groupby(["band", "band_hash"])
-            .map_groups(_bucket_pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands"))
-            .select_columns(["doc_a", "doc_b"])
-            .materialize()
+
+    sides = co.map_batches(_sides, batch_format="pyarrow").materialize()
+    n_sides = sides.count()
+    if n_sides == 0:
+        return _empty_pairs("est_jaccard")
+
+    attached = sides.join(
+        sigs,
+        "inner",
+        num_partitions=_join_parts(n_sides, n_docs),
+        on=("jkey",),
+        right_on=("doc_id",),
+    )
+
+    def _pair_est(group: pd.DataFrame) -> pa.Table:
+        # returns ARROW (not pandas) so the downstream union with the typed
+        # empty table keeps ONE block type — mixed arrow/pandas blocks trip
+        # Ray's operator block-type assertion
+        g = group.drop_duplicates("jkey")
+        if len(g) != 2:  # defensive: a side lost its signature row
+            return _EMPTY_EST_TBL
+        sa = np.frombuffer(g["sig"].iloc[0], dtype="<u8")
+        sb = np.frombuffer(g["sig"].iloc[1], dtype="<u8")
+        est = float((sa == sb).mean())
+        if est < threshold:
+            return _EMPTY_EST_TBL
+        return pa.table(
+            {
+                "doc_a": pa.array([int(g["doc_a"].iloc[0])], pa.int64()),
+                "doc_b": pa.array([int(g["doc_b"].iloc[0])], pa.int64()),
+                "est_jaccard": pa.array([est], pa.float64()),
+            }
         )
-        n_pairs = pairs.count()
-        if n_pairs == 0:
-            return _empty_pairs("est_jaccard")
 
-        # attach sig_a / sig_b by hash join; the signature table rides the
-        # shuffle ONCE per side — no driver dict, no id broadcast
-        def _name_sig(name: str):
-            def _rename(batch: pa.Table) -> pa.Table:
-                return batch.rename_columns(
-                    [name if c == "sig" else c for c in batch.column_names]
-                )
+    verified = attached.groupby(["doc_a", "doc_b"]).map_groups(
+        _pair_est, batch_format="pandas"
+    )
+    out = (
+        _empty_pairs("est_jaccard").union(verified).sort(["doc_a", "doc_b"])
+    )
+    return _schema_stable(out, _empty_pairs("est_jaccard"))
 
-            return _rename
 
-        with_a = pairs.join(
-            sigs,
-            "inner",
-            num_partitions=_join_parts(n_pairs, n_docs),
-            on=("doc_a",),
-            right_on=("doc_id",),
-        ).map_batches(_name_sig("sig_a"), batch_format="pyarrow")
-        with_ab = with_a.join(
-            sigs,
-            "inner",
-            num_partitions=_join_parts(n_pairs, n_docs),
-            on=("doc_b",),
-            right_on=("doc_id",),
-        ).map_batches(_name_sig("sig_b"), batch_format="pyarrow")
-
-        def _est(batch: pa.Table) -> pa.Table:
-            a = _unpack_sigs(batch["sig_a"])
-            b = _unpack_sigs(batch["sig_b"])
-            est = (
-                (a == b).mean(axis=1)
-                if len(a)
-                else np.empty(0, dtype=np.float64)
-            )
-            keep = est >= threshold
-            return pa.table(
-                {
-                    "doc_a": pc.cast(
-                        batch["doc_a"].combine_chunks().filter(pa.array(keep))
-                        if batch.num_rows
-                        else pa.array([], pa.int64()),
-                        pa.int64(),
-                    ),
-                    "doc_b": pc.cast(
-                        batch["doc_b"].combine_chunks().filter(pa.array(keep))
-                        if batch.num_rows
-                        else pa.array([], pa.int64()),
-                        pa.int64(),
-                    ),
-                    "est_jaccard": pa.array(est[keep], pa.float64()),
-                }
-            )
-
-        out = (
-            _empty_pairs("est_jaccard")
-            .union(with_ab.map_batches(_est, batch_format="pyarrow"))
-            .sort(["doc_a", "doc_b"])
-        )
-        # materialize (result-sized) BEFORE the scratch parquet is removed
-        return _schema_stable(out, _empty_pairs("est_jaccard"))
-    finally:
-        if ephemeral:
-            import shutil
-
-            shutil.rmtree(scratch, ignore_errors=True)
+_EMPTY_EST_TBL = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
 
 
 def minhash_pair_set(
