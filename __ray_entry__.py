@@ -78,6 +78,40 @@ def _q_extract_full(sf_dir: str):
     ).sort("url")
 
 
+_GOLDEN_HASHES = "/root/repo/rika_ray/data/golden_content_hashes_sf0.01.parquet"
+
+
+def _q_extract_content_hashes(sf_dir: str):
+    """Byte-identity invariant for the flagship pipeline as a DRIVER-visible
+    oracle row: md5 of every extracted content string ("" for error rows),
+    compared against a CHECKED-IN golden table derived from the corpus
+    generator's ground truth (tools/gen_golden_hashes.py) — so a silent
+    extraction regression breaks hash_match instead of only pytest."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def _md5(batch: pa.Table) -> pa.Table:
+        # "" (not null) for error rows — null strings crash Ray's sort
+        hashes = [
+            hashlib.md5(c.encode("utf-8")).hexdigest() if c is not None else ""
+            for c in batch["content"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "content_md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return (
+        _extract_ds(sf_dir)
+        .select_columns(["url", "content"])
+        .map_batches(_md5, batch_format="pyarrow")
+        .sort(["url", "content_md5"])
+    )
+
+
 def _q_extract_media_tally(sf_dir: str):
     from rika_ray.pipelines.extraction import media_type_tally
 
@@ -149,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         # --- extraction pipeline (rows-only: parser semantics, not SQL) ---
         "extract_full": _q_extract_full,
+        # --- extraction byte-identity vs checked-in goldens (SQL-oracled) ---
+        "extract_content_hashes": _q_extract_content_hashes,
         "extract_media_tally": _q_extract_media_tally,
         "extract_error_tally": _q_extract_error_tally,
         "warc_media_tally": _q_warc_media_tally,
@@ -206,6 +242,13 @@ _TOKENIZE_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the oracle side of the byte-identity invariant is the CHECKED-IN
+        # golden table (ground truth from the corpus generator, not from a
+        # pipeline run) — valid at the driver's oracle tier (sf0.01)
+        "extract_content_hashes": (
+            f"SELECT url, content_md5 FROM read_parquet('{_GOLDEN_HASHES}') "
+            "ORDER BY url, content_md5"
+        ),
         "source_tally": (
             "SELECT source, COUNT(*) AS n FROM documents "
             "GROUP BY source ORDER BY source"

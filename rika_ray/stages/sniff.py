@@ -145,13 +145,16 @@ def _textual_subtype(scan: bytes) -> str | None:
         ):
             return MARKDOWN
     # CSV / TSV: >=3 complete lines with an identical, nonzero delimiter
-    # count per line (tab checked first: tabs are rarer in prose)
+    # count per line (tab checked first: tabs are rarer in prose). The
+    # comma branch demands >=2 per line — three prose sentences each
+    # containing exactly one comma would otherwise misfile as text/csv
+    # (a single tab per line stays sufficient: tabs don't occur in prose)
     lines = scan.split(b"\n")[:-1][:10]  # drop the possibly-truncated tail
     lines = [ln for ln in lines if ln.strip()]
     if len(lines) >= 3:
-        for delim, mt in ((b"\t", TSV), (b",", CSV)):
+        for delim, mt, min_count in ((b"\t", TSV, 1), (b",", CSV, 2)):
             c0 = lines[0].count(delim)
-            if c0 >= 1 and all(ln.count(delim) == c0 for ln in lines):
+            if c0 >= min_count and all(ln.count(delim) == c0 for ln in lines):
                 return mt
     return None
 

@@ -142,3 +142,27 @@ def test_video_stage_batch(ray_session):
     for r in out:
         assert r["n_frames_sampled"] == 4
         assert len(r["embedding"]) == 11  # 3 channel means + 8 hist bins
+
+
+@pytest.mark.skipif(
+    not __import__("rika_ray.pipelines.multimodal", fromlist=["HAVE_PIL"]).HAVE_PIL,
+    reason="PIL not installed — real-decoder branch has no codec to drive",
+)
+def test_decode_image_real_pil_branch():
+    """Covers the PIL-backed branch of decode_image the moment the
+    container gains the library: a real PNG decode must return the actual
+    pixel values (not the deterministic fake), already RGB-converted."""
+    import io
+
+    from PIL import Image
+
+    from rika_ray.pipelines.multimodal import decode_image
+
+    # 2x1 image with known pixels, round-tripped through a real PNG encode
+    ref = np.array([[[255, 0, 0], [0, 128, 255]]], dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(ref, mode="RGB").save(buf, format="PNG")
+    pixels, media = decode_image(buf.getvalue())
+    assert media == "image/png"
+    assert pixels.shape == (1, 2, 3)
+    assert np.array_equal(pixels, ref)

@@ -106,3 +106,22 @@ def test_generic_zip_with_misleading_member_names():
         z.writestr("word/document.xml", "<w:document/>")
     d2 = buf2.getvalue()
     assert sniff_bytes(d2[:2048], d2[-4096:]) == DOCX
+
+
+def test_prose_with_single_commas_is_not_csv():
+    """Three prose lines each containing exactly ONE comma must stay
+    text/plain — the comma branch of the CSV sniff requires >=2 delimiters
+    per line (a consistent single comma is normal in prose; round-3 advice)."""
+    prose = (
+        b"The rain fell, and the river rose.\n"
+        b"We waited inside, watching the road.\n"
+        b"By morning, the water had gone down.\n"
+    )
+    assert sniff._textual_subtype(prose) is None
+    assert sniff_bytes(prose, prose) == sniff.PLAIN
+    # a real comma table (>=2 delimiters per line) still sniffs as CSV
+    table = b"id,name,qty\n1,ann,3\n2,bob,5\n"
+    assert sniff._textual_subtype(table) == sniff.CSV
+    # single-TAB lines remain TSV (tabs don't occur in prose)
+    tsv = b"id\tname\n1\tann\n2\tbob\n"
+    assert sniff._textual_subtype(tsv) == sniff.TSV

@@ -1,0 +1,65 @@
+"""Regenerate the checked-in golden content-hash table for the
+``extract_content_hashes`` driver query.
+
+The table is (url, content_md5) derived from the corpus generator's
+``expected_extractions`` ground truth at the sf0.01 tier — NOT from a
+pipeline run, so the oracle is independent of the code under test. Re-run
+this (and commit the result) whenever ``rika_ray.corpus.CORPUS_VERSION``
+changes; ``tests/test_golden_hashes.py`` fails loudly if the file is stale.
+
+Usage: python tools/gen_golden_hashes.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rika_ray.corpus import CORPUS_VERSION, generate_corpus
+
+# sf tier → n_per_family, must match __ray_entry__._CORPUS_SCALE
+SF001_N_PER_FAMILY = 10
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "rika_ray",
+    "data",
+    "golden_content_hashes_sf0.01.parquet",
+)
+
+
+def golden_table(n_per_family: int = SF001_N_PER_FAMILY) -> pa.Table:
+    _, expected = generate_corpus(n_per_family=n_per_family, seed=42)
+    urls = expected["url"].to_pylist()
+    contents = expected["content"].to_pylist()
+    # "" (not NULL) for error rows: the hash column is a SORT KEY in the
+    # driver query, and Ray's sort comparators crash on null strings
+    hashes = [
+        hashlib.md5(c.encode("utf-8")).hexdigest() if c is not None else ""
+        for c in contents
+    ]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "content_md5": pa.array(hashes, pa.string()),
+        }
+    )
+    return t.sort_by([("url", "ascending"), ("content_md5", "ascending")])
+
+
+def main() -> None:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    t = golden_table()
+    t = t.replace_schema_metadata({"corpus_version": str(CORPUS_VERSION)})
+    pq.write_table(t, OUT)
+    print(f"wrote {OUT}: {t.num_rows} rows, corpus v{CORPUS_VERSION}")
+
+
+if __name__ == "__main__":
+    main()
