@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 17
+CORPUS_VERSION = 18
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -1013,22 +1013,79 @@ def generate_corpus(
             claimed_lang="en",
         )
 
-    # 7z / RAR: detected by magic, no from-scratch parser — opaque
-    # container type with empty content (the reference's unknown-binary
-    # convention, spec/rika/parser_spec.rb:186-188)
-    for fam, magic, media in (
-        ("sevenz", b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
-        ("rar", b"Rar!\x1a\x07\x01\x00", "application/x-rar-compressed"),
-    ):
+    # 7z / RAR / zstd: REAL member extraction through the from-scratch
+    # readers (stages/sevenz.py, rar.py, zstd.py — Tika PackageParser /
+    # CompressorParser parity for the long-tail package formats)
+    for _ in range(max(2, n_per_family)):
+        t1 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        t2 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        codec = rng.choice(["copy", "lzma2", "lzma1", "bzip2"])
         b.add(
-            fam,
-            magic + bytes(rng.getrandbits(8) for _ in range(48)),
-            content="",
-            content_type=media,
-            media_type=media,
+            "sevenz",
+            docgen.build_7z(
+                [
+                    ("docs/a.txt", t1.encode("utf-8")),
+                    ("docs/b.txt", t2.encode("utf-8")),
+                ],
+                codec=codec,
+                encoded_header=bool(rng.getrandbits(1)),
+            ),
+            content=t1 + t2,
+            content_type="application/x-7z-compressed",
+            media_type="application/x-7z-compressed",
             charset=None,
-            language=None,
+            language="en",
+            extra_metadata={
+                "rika:container": "application/x-7z-compressed",
+                "rika:entry-count": "2",
+            },
+            claimed_lang="en",
         )
+    for _ in range(max(2, n_per_family)):
+        t1 = _paragraph(rng, WORD_POOL["en"], rng.randint(3, 5)) + "\n"
+        builder = docgen.build_rar5 if rng.getrandbits(1) else docgen.build_rar4
+        b.add(
+            "rar",
+            builder([("stored.txt", t1.encode("utf-8"))]),
+            content=t1,
+            content_type="application/x-rar-compressed",
+            media_type="application/x-rar-compressed",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "rika:container": "application/x-rar-compressed",
+                "rika:entry-count": "1",
+            },
+            claimed_lang="en",
+        )
+    for _ in range(max(2, n_per_family)):
+        gen = _paragraph(rng, WORD_POOL["en"], rng.randint(4, 6)) + "\n"
+        b.add(
+            "zstd-text",
+            docgen.build_zstd_raw(gen.encode("utf-8")),
+            content=gen,
+            content_type="text/plain; charset=UTF-8",
+            media_type="text/plain",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "rika:container": "application/zstd",
+            },
+            claimed_lang="en",
+        )
+    # truncated 7z → parse_error row, run continues (same convention as
+    # corrupt-zip/corrupt-gzip below)
+    b.add(
+        "corrupt-7z",
+        b"7z\xbc\xaf\x27\x1c" + bytes(rng.getrandbits(8) for _ in range(48)),
+        content=None,
+        content_type=None,
+        media_type="application/x-7z-compressed",
+        charset=None,
+        language=None,
+        error_type="parse_error",
+    )
 
     # zip-in-zip: nested members extract through the same dispatch with
     # bounded depth

@@ -1184,3 +1184,231 @@ def build_warc(
     if gzip_members:
         return b"".join(_gz.compress(c, mtime=0) for c in chunks)
     return b"".join(chunks)
+
+
+def _7z_num(v: int) -> bytes:
+    """7z variable-length number: minimal single byte below 0x80, else the
+    full 0xFF + 8-byte little-endian form (always valid, never minimal)."""
+    if v < 0x80:
+        return bytes([v])
+    return b"\xff" + v.to_bytes(8, "little")
+
+
+def _7z_compress(payload: bytes, codec: str) -> tuple[bytes, bytes, bytes]:
+    """(packed_bytes, codec_id, codec_props) for the writer's codecs."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    if codec == "copy":
+        return payload, b"\x00", b""
+    if codec == "lzma2":
+        packed = _lzma.compress(
+            payload,
+            format=_lzma.FORMAT_RAW,
+            filters=[{"id": _lzma.FILTER_LZMA2, "preset": 6}],
+        )
+        return packed, b"\x21", b"\x18"  # props byte: dictionary size code
+    if codec == "lzma1":
+        packed = _lzma.compress(
+            payload,
+            format=_lzma.FORMAT_RAW,
+            filters=[{"id": _lzma.FILTER_LZMA1, "preset": 6}],
+        )
+        # props: (pb*5+lp)*9+lc with lc=3 lp=0 pb=2, then dict size LE32
+        props = bytes([93]) + (8 * 1024 * 1024).to_bytes(4, "little")
+        return packed, b"\x03\x01\x01", props
+    if codec == "bzip2":
+        return _bz2.compress(payload), b"\x04\x02\x02", b""
+    raise ValueError(codec)
+
+
+def _7z_streams_info(
+    pack_pos: int, packed_len: int, codec_id: bytes, props: bytes,
+    unpack_size: int, substream_sizes: list[int] | None,
+) -> bytes:
+    out = bytearray()
+    out += _7z_num(0x06)  # kPackInfo
+    out += _7z_num(pack_pos) + _7z_num(1)
+    out += _7z_num(0x09) + _7z_num(packed_len)  # kSize
+    out += _7z_num(0x00)  # kEnd (PackInfo)
+    out += _7z_num(0x07)  # kUnpackInfo
+    out += _7z_num(0x0B) + _7z_num(1) + b"\x00"  # kFolder, 1 folder, internal
+    flag = len(codec_id) | (0x20 if props else 0)
+    out += _7z_num(1) + bytes([flag]) + codec_id  # one simple coder
+    if props:
+        out += _7z_num(len(props)) + props
+    out += _7z_num(0x0C) + _7z_num(unpack_size)  # kCodersUnpackSize
+    out += _7z_num(0x00)  # kEnd (UnpackInfo)
+    if substream_sizes is not None and len(substream_sizes) != 1:
+        out += _7z_num(0x08)  # kSubStreamsInfo
+        out += _7z_num(0x0D) + _7z_num(len(substream_sizes))
+        out += _7z_num(0x09)
+        for s in substream_sizes[:-1]:
+            out += _7z_num(s)
+        out += _7z_num(0x00)  # kEnd (SubStreamsInfo)
+    out += _7z_num(0x00)  # kEnd (StreamsInfo)
+    return bytes(out)
+
+
+def build_7z(
+    entries: list[tuple[str, bytes]],
+    codec: str = "lzma2",
+    encoded_header: bool = False,
+) -> bytes:
+    """A deterministic 7z archive in the subset rika_ray's reader supports:
+    ONE solid folder holding all members, a single simple coder (``copy`` /
+    ``lzma2`` / ``lzma1`` / ``bzip2``), optional LZMA2-packed metadata
+    header (the layout 7-Zip itself writes by default)."""
+    import zlib as _zlib
+
+    payload = b"".join(d for _, d in entries)
+    packed, codec_id, props = _7z_compress(payload, codec)
+
+    header = bytearray()
+    header += _7z_num(0x01)  # kHeader
+    header += _7z_num(0x04)  # kMainStreamsInfo
+    header += _7z_streams_info(
+        0, len(packed), codec_id, props, len(payload),
+        [len(d) for _, d in entries],
+    )
+    header += _7z_num(0x05)  # kFilesInfo
+    header += _7z_num(len(entries))
+    names = b"\x00" + b"".join(
+        n.encode("utf-16-le") + b"\x00\x00" for n, _ in entries
+    )
+    header += _7z_num(0x11) + _7z_num(len(names)) + names  # kName
+    header += _7z_num(0x00)  # kEnd (FilesInfo)
+    header += _7z_num(0x00)  # kEnd (Header)
+    header = bytes(header)
+
+    body = packed
+    if encoded_header:
+        hpacked, hcid, hprops = _7z_compress(header, "lzma2")
+        enc = bytearray()
+        enc += _7z_num(0x17)  # kEncodedHeader
+        enc += _7z_streams_info(
+            len(packed), len(hpacked), hcid, hprops, len(header), None
+        )
+        body = packed + hpacked
+        header = bytes(enc)
+
+    nh_off = len(body)
+    # start header per 7zFormat.txt: NextHeaderOffset u64, NextHeaderSize
+    # u64, NextHeaderCRC u32 — CRC'd as a 20-byte unit
+    start_fields = (
+        nh_off.to_bytes(8, "little") + len(header).to_bytes(8, "little")
+        + _zlib.crc32(header).to_bytes(4, "little")
+    )
+    sig = (
+        b"7z\xbc\xaf\x27\x1c" + bytes([0, 4])
+        + _zlib.crc32(start_fields).to_bytes(4, "little") + start_fields
+    )
+    assert len(sig) == 32
+    return sig + body + header
+
+
+def build_rar4(entries: list[tuple[str, bytes]], fake_compressed: bool = False) -> bytes:
+    """A deterministic RAR4 archive with STORED members (method 0x30 — the
+    only method an original implementation can honor; the RAR compression
+    algorithm itself is proprietary). ``fake_compressed=True`` marks members
+    with method 0x33 instead, for exercising the reader's skip path."""
+    import zlib as _zlib
+
+    def _block(head_type: int, flags: int, body: bytes, add: bytes = b"") -> bytes:
+        size = 7 + len(body)
+        raw = bytes([head_type]) + flags.to_bytes(2, "little") + size.to_bytes(2, "little") + body
+        crc = _zlib.crc32(raw) & 0xFFFF
+        return crc.to_bytes(2, "little") + raw + add
+
+    out = bytearray(b"Rar!\x1a\x07\x00")
+    out += _block(0x73, 0x0000, b"\x00\x00\x00\x00\x00\x00")  # main header
+    for name, data in entries:
+        nm = name.encode("utf-8")
+        method = 0x33 if fake_compressed else 0x30
+        body = (
+            len(data).to_bytes(4, "little")          # PACK_SIZE
+            + len(data).to_bytes(4, "little")        # UNP_SIZE
+            + b"\x00"                                 # HOST_OS
+            + (_zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"                     # FTIME
+            + bytes([20, method])                     # UNP_VER, METHOD
+            + len(nm).to_bytes(2, "little")
+            + b"\x20\x00\x00\x00"                     # ATTR
+            + nm
+        )
+        out += _block(0x74, 0x8000, body, data)       # LONG_BLOCK flag
+    out += _block(0x7B, 0x4000, b"")                  # end of archive
+    return bytes(out)
+
+
+def build_zstd_raw(payload: bytes, rle_tail: bytes = b"") -> bytes:
+    """A valid zstd FRAME using only raw (and optionally RLE) blocks — the
+    subset constructible without a zstd encoder. Decodes to
+    ``payload + rle_tail`` with any conforming decoder."""
+    frame = bytearray(b"\x28\xb5\x2f\xfd")
+    content_size = len(payload) + len(rle_tail)
+    # descriptor: single_segment=1 (bit 5), fcs_flag=0 → 1-byte content size
+    if content_size > 255:
+        frame += bytes([0x20 | 0x80])  # fcs_flag=2 → 4-byte size
+        frame += content_size.to_bytes(4, "little")
+    else:
+        frame += bytes([0x20])
+        frame += bytes([content_size])
+    blocks = []
+    if payload or not rle_tail:
+        blocks.append((0, payload))                   # raw block
+    if rle_tail:
+        blocks.append((1, rle_tail))                  # RLE block
+    for i, (btype, data) in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        size = len(data)
+        hdr = last | (btype << 1) | (size << 3)
+        frame += hdr.to_bytes(3, "little")
+        frame += data if btype == 0 else data[:1]
+    return bytes(frame)
+
+
+def build_rar5(entries: list[tuple[str, bytes]], fake_compressed: bool = False) -> bytes:
+    """A deterministic RAR5 archive with STORED members (compression
+    method 0 in the vint-based v5 layout)."""
+    import zlib as _zlib
+
+    def _vint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def _block(header: bytes, payload: bytes = b"") -> bytes:
+        sized = _vint(len(header)) + header
+        crc = _zlib.crc32(sized) & 0xFFFFFFFF
+        return crc.to_bytes(4, "little") + sized + payload
+
+    out = bytearray(b"Rar!\x1a\x07\x01\x00")
+    # main archive header: type=1, flags=0, archive flags vint=0
+    out += _block(_vint(1) + _vint(0) + _vint(0))
+    for name, data in entries:
+        nm = name.encode("utf-8")
+        method = 3 if fake_compressed else 0
+        comp_info = method << 7
+        header = (
+            _vint(2)            # type: file
+            + _vint(0x02)       # header flags: data area present
+            + _vint(len(data))  # data size
+            + _vint(0x04)       # file flags: CRC present
+            + _vint(len(data))  # unpacked size
+            + _vint(0x20)       # attributes
+            + (_zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
+            + _vint(comp_info)
+            + _vint(0)          # host OS
+            + _vint(len(nm))
+            + nm
+        )
+        out += _block(header, data)
+    out += _block(_vint(5) + _vint(0) + _vint(0))  # end of archive
+    return bytes(out)

@@ -98,8 +98,11 @@ class ExtractStage:
             sniff_mod.GZIP: self._do_gzip,
             sniff_mod.BZIP2: self._do_bzip2,
             sniff_mod.XZ: self._do_xz,
+            sniff_mod.ZSTD: self._do_zstd,
             sniff_mod.ZIP: self._do_zip,
             sniff_mod.TAR: self._do_tar,
+            sniff_mod.SEVENZ: self._do_7z,
+            sniff_mod.RAR: self._do_rar,
             # text:p extraction applies to every ODF package kind (ODS
             # cells and ODP frames hold text:p too)
             **{
@@ -239,6 +242,14 @@ class ExtractStage:
 
         return self._do_compressed(inflate, sniff_mod.XZ, data, _depth)
 
+    def _do_zstd(self, data: bytes, media: str, _depth: int = 0):
+        from rika_ray.stages.zstd import decompress_zstd
+
+        def inflate(d: bytes, cap: int) -> bytes:
+            return decompress_zstd(d, cap)
+
+        return self._do_compressed(inflate, sniff_mod.ZSTD, data, _depth)
+
     def _do_compressed(self, inflate, container: str, data: bytes, depth: int):
         # transparent member unwrap (Tika CompressorParser semantics behind
         # the one-parse surface, /root/reference/lib/rika/parser.rb:21-29):
@@ -273,8 +284,11 @@ class ExtractStage:
             self._do_gzip,
             self._do_bzip2,
             self._do_xz,
+            self._do_zstd,
             self._do_zip,
             self._do_tar,
+            self._do_7z,
+            self._do_rar,
         ):
             return kernel(data, media, depth)
         return kernel(data, media)
@@ -284,6 +298,16 @@ class ExtractStage:
 
     def _do_tar(self, data: bytes, media: str, _depth: int = 0):
         return self._do_archive(iter_tar_entries, data, media, _depth)
+
+    def _do_7z(self, data: bytes, media: str, _depth: int = 0):
+        from rika_ray.stages.sevenz import iter_7z_entries
+
+        return self._do_archive(iter_7z_entries, data, media, _depth)
+
+    def _do_rar(self, data: bytes, media: str, _depth: int = 0):
+        from rika_ray.stages.rar import iter_rar_entries
+
+        return self._do_archive(iter_rar_entries, data, media, _depth)
 
     def _do_archive(self, entries, data: bytes, media: str, depth: int):
         # Tika PackageParser semantics behind the one-parse surface

@@ -46,7 +46,7 @@ def test_error_rows_marked(corpus_tables):
     assert len(by_err[None]) > 0
     assert len(by_err["empty_file"]) == 2
     # 2 random-bytes + 2 corrupt xref-stream + 1 corrupt gzip + 1 corrupt zip
-    assert len(by_err["parse_error"]) == 6
+    assert len(by_err["parse_error"]) == 7
     assert len(by_err["encrypted_document"]) == 1
     for r in (
         by_err["empty_file"]

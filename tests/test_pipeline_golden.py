@@ -94,7 +94,7 @@ def test_error_rows_and_continuation(extracted, corpus_dir):
             assert g["error_message"] is not None
     # 2 empty + 4 corrupt-pdf + 1 corrupt-gzip + 1 corrupt-zip +
     # 1 encrypted-pdf — run completed
-    assert n_err == 9
+    assert n_err == 10
 
 
 def test_provenance_columns(extracted):
@@ -108,7 +108,7 @@ def test_tallies(ray_session, corpus_dir):
     out = build_extraction_pipeline(ds, ExtractionConfig())
     err = {r["error_type"]: r["count()"] for r in error_tally(out).take_all()}
     assert err.get("empty_file") == 2
-    assert err.get("parse_error") == 6
+    assert err.get("parse_error") == 7
     assert err.get("encrypted_document") == 1
     mt = media_type_tally(out).to_pandas()
     assert (mt["media_type"].dropna().sort_values().tolist()

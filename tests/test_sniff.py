@@ -46,6 +46,7 @@ _COMPRESSED_FAMS = {
     "tgz": "application/gzip",
     "tbz2": "application/x-bzip2",
     "txz": "application/x-xz",
+    "zstd": "application/zstd",
 }
 
 
