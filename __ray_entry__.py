@@ -268,7 +268,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_filter_project": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-            "WHERE l_quantity > 45.0"
+            "WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
@@ -349,7 +349,10 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": (
             "SELECT p_type, COUNT(*) AS n, "
             "ROUND(SUM(p_retailprice) / COUNT(*), 2) AS avg_price, "
-            "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
+            # BIGINT casts: the engine emits int64; DuckDB MIN/MAX keep the
+            # column's int32 — same values, but uniform widths keep the
+            # driver's hash comparison out of dtype territory
+            "MIN(p_size)::BIGINT AS min_size, MAX(p_size)::BIGINT AS max_size "
             "FROM part GROUP BY p_type ORDER BY p_type"
         ),
         "events_distinct_users": (
@@ -358,7 +361,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+            "COUNT(*) AS n, "
+            # integer-cents stabilization (see relational.events_hourly):
+            # exact integer + one IEEE division = bit-identical across
+            # engines regardless of float summation order
+            "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) / 100.0 AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "user_sessions": (

@@ -103,10 +103,15 @@ def top_words(sf_dir: str, k: int = 5) -> ray.data.Dataset:
 
 
 def docs_filter_project(sf_dir: str, min_chars: int = 300) -> ray.data.Dataset:
+    # final sort: Ray's streaming executor does NOT preserve input order
+    # (preserve_order defaults off), so an orderless filter's row order is
+    # task-completion luck — observed reordered at 32 CPUs. Every oracle'd
+    # query must end in an explicit total order.
     return (
         _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
         .filter(expr=f"n_chars > {min_chars}")
         .select_columns(["doc_id", "lang", "n_chars"])
+        .sort("doc_id")
     )
 
 
@@ -114,6 +119,7 @@ def lineitem_filter_project(sf_dir: str, min_qty: float = 45.0) -> ray.data.Data
     return (
         _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
         .filter(expr=f"l_quantity > {min_qty}")
+        .sort(["l_orderkey", "l_linenumber"])
     )
 
 
@@ -504,10 +510,27 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _round(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
+        # integer-cents stabilization: the input values are exact 2dp, so
+        # round(sum*100) is an exact integer regardless of float summation
+        # order, and cents/100.0 is one deterministic IEEE division —
+        # bit-identical across engines. Plain round(sum, 2) is NOT: two
+        # engines summing in different orders can round onto ADJACENT
+        # doubles and fail the driver's value hash (observed at 32 CPUs)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["sum_value"], pa.scalar(100.0)), 0),
+            pa.int64(),
+        )
+        batch = batch.set_column(
             batch.schema.get_field_index("sum_value"),
             "sum_value",
-            pc.round(batch["sum_value"], 2),
+            pc.divide(pc.cast(cents, pa.float64()), pa.scalar(100.0)),
+        )
+        # floor_temporal narrows to timestamp[s]; the oracle (and the input
+        # ts column) are timestamp[us] — match widths for the driver hash
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(batch["window_start"], pa.timestamp("us")),
         )
 
     return ds.map_batches(_round, batch_format="pyarrow").sort(
