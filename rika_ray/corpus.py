@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 18
+CORPUS_VERSION = 19
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -762,6 +762,66 @@ def generate_corpus(
             extra_metadata={"dc:creator": "Robert Frost", "dc:title": title},
             claimed_lang="en",
         )
+
+    # --- odg / vsdx / psd: Tika long-tail formats (round-3 verdict missing
+    # item 1) — drawing text boxes, Visio shape text, Photoshop header dims
+    for _ in range(max(2, n_per_family)):
+        labels = [
+            _sentence(rng, WORD_POOL["en"], rng.randint(4, 8))
+            for _ in range(rng.randint(2, 4))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        b.add(
+            "odg",
+            docgen.build_odg(labels, title=title),
+            content="".join(t + "\n" for t in labels),
+            content_type="application/vnd.oasis.opendocument.graphics",
+            media_type="application/vnd.oasis.opendocument.graphics",
+            charset=None,
+            language="en",
+            extra_metadata={"dc:title": title},
+            claimed_lang="en",
+        )
+    for _ in range(max(2, n_per_family)):
+        vsdx_pages = [
+            [
+                _sentence(rng, WORD_POOL["en"], rng.randint(3, 6))
+                for _ in range(rng.randint(1, 3))
+            ]
+            for _ in range(rng.randint(1, 2))
+        ]
+        title = rng.choice(ARTICLE_TOPICS)
+        b.add(
+            "vsdx",
+            docgen.build_vsdx(vsdx_pages, title=title, creator="Robert Frost"),
+            content="".join(
+                t + "\n" for page in vsdx_pages for t in page
+            ),
+            content_type="application/vnd.ms-visio.drawing",
+            media_type="application/vnd.ms-visio.drawing",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:creator": "Robert Frost",
+                "dc:title": title,
+                "visio:page-count": str(len(vsdx_pages)),
+            },
+            claimed_lang="en",
+        )
+    psd_w, psd_h = rng.randint(64, 2048), rng.randint(64, 2048)
+    b.add(
+        "psd",
+        docgen.build_psd(psd_w, psd_h),
+        content="",
+        content_type="image/vnd.adobe.photoshop",
+        media_type="image/vnd.adobe.photoshop",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": f"{psd_h} pixels",
+            "Image Width": f"{psd_w} pixels",
+        },
+    )
 
     # --- epub: OCF/OPF ebook package (mimetype-anchored detection like
     # ODF; spine-ordered XHTML chapters)

@@ -1412,3 +1412,110 @@ def build_rar5(entries: list[tuple[str, bytes]], fake_compressed: bool = False) 
         out += _block(header, data)
     out += _block(_vint(5) + _vint(0) + _vint(0))  # end of archive
     return bytes(out)
+
+
+def build_odg(paragraphs: list[str], title: str = "") -> bytes:
+    """An OpenDocument Graphics package: STORED ``mimetype`` first member,
+    content.xml with draw pages holding text boxes whose text:p paragraphs
+    carry the readable text (the ODF drawing layout)."""
+    frames = []
+    for i, p in enumerate(paragraphs):
+        frames.append(
+            '<draw:frame draw:name="TextBox%d"><draw:text-box>'
+            '<text:p>%s</text:p>'
+            "</draw:text-box></draw:frame>" % (i, _xml_escape(p))
+        )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<office:document-content "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:drawing>"
+        '<draw:page draw:name="page1">' + "".join(frames) + "</draw:page>"
+        "</office:drawing></office:body></office:document-content>"
+    ).encode()
+    meta = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<office:document-meta "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<office:meta>"
+        f"<dc:title>{_xml_escape(title)}</dc:title>"
+        "</office:meta></office:document-meta>"
+    ).encode()
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, b"application/vnd.oasis.opendocument.graphics")
+        for name, data in [("content.xml", content), ("meta.xml", meta)]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def build_vsdx(
+    pages: list[list[str]], title: str = "", creator: str = ""
+) -> bytes:
+    """A Visio OOXML (.vsdx) package: visio/pages/pageN.xml files whose
+    shapes carry <Text> elements (Visio 2012 main namespace), plus
+    docProps/core.xml."""
+    ns = "http://schemas.microsoft.com/office/visio/2012/main"
+    files: list[tuple[str, bytes]] = [
+        (
+            "[Content_Types].xml",
+            b'<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            b'formats.org/package/2006/content-types"/>',
+        )
+    ]
+    for i, shapes in enumerate(pages, start=1):
+        shape_xml = "".join(
+            f'<Shape ID="{j}"><Text>{_xml_escape(t)}</Text></Shape>'
+            for j, t in enumerate(shapes, start=1)
+        )
+        files.append(
+            (
+                f"visio/pages/page{i}.xml",
+                (
+                    f'<?xml version="1.0"?><PageContents xmlns="{ns}">'
+                    f"<Shapes>{shape_xml}</Shapes></PageContents>"
+                ).encode(),
+            )
+        )
+    files.append(
+        (
+            "docProps/core.xml",
+            (
+                '<?xml version="1.0"?><cp:coreProperties '
+                'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+                'metadata/core-properties" '
+                'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                f"<dc:title>{_xml_escape(title)}</dc:title>"
+                f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+                "</cp:coreProperties>"
+            ).encode(),
+        )
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in files:
+            zf.writestr(zipfile.ZipInfo(name), data)
+    return buf.getvalue()
+
+
+def build_psd(width: int, height: int) -> bytes:
+    """A minimal Photoshop file header (public PSD spec): enough for
+    detection + dimension metadata; the layer/pixel sections are empty."""
+    return (
+        b"8BPS"
+        + (1).to_bytes(2, "big")          # version
+        + b"\x00" * 6                      # reserved
+        + (3).to_bytes(2, "big")           # channels
+        + height.to_bytes(4, "big")
+        + width.to_bytes(4, "big")
+        + (8).to_bytes(2, "big")           # depth
+        + (3).to_bytes(2, "big")           # mode: RGB
+        + b"\x00" * 16                     # empty color/resource/layer sects
+    )

@@ -56,6 +56,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     pixel decode is the stubbed step (see module docstring)."""
     from rika_ray.stages.image_meta import (
         bmp_dimensions,
+        psd_dimensions,
         tiff_dimensions,
         webp_dimensions,
     )
@@ -68,6 +69,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         "image/tiff": tiff_dimensions,
         "image/bmp": bmp_dimensions,
         "image/webp": webp_dimensions,
+        "image/vnd.adobe.photoshop": psd_dimensions,
     }.get(media)
     if dims is None:
         raise ImageParseError(f"not a supported image: {media}")

@@ -62,6 +62,7 @@ _IMAGES = {
     sniff_mod.TIFF,
     sniff_mod.BMP,
     sniff_mod.WEBP,
+    sniff_mod.PSD,
 }
 
 
@@ -104,11 +105,12 @@ class ExtractStage:
             sniff_mod.SEVENZ: self._do_7z,
             sniff_mod.RAR: self._do_rar,
             # text:p extraction applies to every ODF package kind (ODS
-            # cells and ODP frames hold text:p too)
+            # cells, ODP frames, and ODG draw text boxes all hold text:p)
             **{
                 f"application/vnd.oasis.opendocument.{kind}": self._do_odt
-                for kind in ("text", "spreadsheet", "presentation")
+                for kind in ("text", "spreadsheet", "presentation", "graphics")
             },
+            sniff_mod.VSDX: self._do_vsdx,
             sniff_mod.CSV: self._do_csv,
             sniff_mod.TSV: self._do_csv,
             sniff_mod.JSON: self._do_json,
@@ -191,6 +193,12 @@ class ExtractStage:
 
     def _do_odt(self, data: bytes, media: str):
         content, spans, meta = extract_odt(data)
+        return content, media, None, spans, meta
+
+    def _do_vsdx(self, data: bytes, media: str):
+        from rika_ray.stages.office import extract_vsdx
+
+        content, spans, meta = extract_vsdx(data)
         return content, media, None, spans, meta
 
     def _do_epub(self, data: bytes, media: str):

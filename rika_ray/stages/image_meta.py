@@ -171,6 +171,15 @@ def tiff_dimensions(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+def psd_dimensions(data: bytes) -> tuple[int, int]:
+    """Photoshop header (public PSD spec): ``8BPS`` + version, then
+    channels u16, height u32 BE (offset 14), width u32 BE (offset 18)."""
+    if not data.startswith(b"8BPS") or len(data) < 22:
+        raise ImageParseError("not a PSD")
+    h, w = struct.unpack(">II", data[14:22])
+    return w, h
+
+
 def bmp_dimensions(data: bytes) -> tuple[int, int]:
     if not data.startswith(b"BM") or len(data) < 26:
         raise ImageParseError("not a BMP")
@@ -230,6 +239,8 @@ def extract_image(data: bytes, media_type: str) -> tuple[str, list, dict[str, st
         w, h = bmp_dimensions(data)
     elif media_type == "image/webp":
         w, h = webp_dimensions(data)
+    elif media_type == "image/vnd.adobe.photoshop":
+        w, h = psd_dimensions(data)
     else:
         raise ImageParseError(f"unsupported image type {media_type}")
     meta["Image Height"] = f"{h} pixels"

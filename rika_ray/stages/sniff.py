@@ -46,6 +46,8 @@ RAR = "application/x-rar-compressed"
 TIFF = "image/tiff"
 BMP = "image/bmp"
 WEBP = "image/webp"
+PSD = "image/vnd.adobe.photoshop"
+VSDX = "application/vnd.ms-visio.drawing"
 XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
@@ -230,6 +232,8 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return JPEG
     if prefix.startswith((b"II*\x00", b"MM\x00*")):
         return TIFF
+    if prefix.startswith(b"8BPS"):
+        return PSD
     if prefix[:4] == b"RIFF" and prefix[8:12] == b"WEBP":
         return WEBP
     # BMP: "BM" alone collides with text ("BMW …"); require a known DIB
@@ -259,6 +263,8 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
             return XLSX
         if any(nm.startswith((b"ppt/", b"ppt\\")) for nm in names):
             return PPTX
+        if any(nm.startswith(b"visio/") for nm in names):
+            return VSDX
         return ZIP
     if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         return OLE2

