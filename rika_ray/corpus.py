@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 19
+CORPUS_VERSION = 22
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -820,6 +820,224 @@ def generate_corpus(
         extra_metadata={
             "Image Height": f"{psd_h} pixels",
             "Image Width": f"{psd_w} pixels",
+        },
+    )
+
+    # --- eml / mbox: RFC 5322 mail (Tika RFC822Parser / MboxParser
+    # surface) — multipart/alternative collapses to the plain member,
+    # text attachments extract through the same dispatch, quoted-printable
+    # UTF-8 decodes, mailbox messages concatenate in order
+    def _eml_meta(subject, sender, to, mid, n_parts):
+        return {
+            "Message:From": sender,
+            "Message:To": to,
+            "Message:Message-ID": mid,
+            "Message:Date": "Mon, 12 Jan 2026 10:00:00 +0000",
+            "dc:title": subject,
+            "dc:creator": sender,
+            "Message:num-parts": str(n_parts),
+        }
+
+    for k in range(max(2, n_per_family)):
+        subject = rng.choice(ARTICLE_TOPICS)
+        sender = f"sender{k}@corpus.test"
+        to = f"list{k}@corpus.test"
+        mid = f"<gen-{k:04d}@corpus.test>"
+        body = "".join(
+            _sentence(rng, WORD_POOL["en"], rng.randint(6, 12)) + "\n"
+            for _ in range(rng.randint(2, 4))
+        )
+        if k % 2 == 0:
+            # multipart/alternative: html member present, plain preferred
+            html_body = "<html><body><p>" + body.replace("\n", " ") + "</p></body></html>"
+            payload = docgen.build_eml(
+                subject, sender, to, body, html_body=html_body,
+                message_id=mid,
+            )
+            expected_content, n_parts = body, 1
+        else:
+            att_text = _sentence(rng, WORD_POOL["en"], rng.randint(8, 14)) + "\n"
+            payload = docgen.build_eml(
+                subject, sender, to, body, message_id=mid,
+                attachments=[("notes.txt", att_text.encode(), "text/plain")],
+            )
+            expected_content, n_parts = body + att_text, 2
+        b.add(
+            "eml",
+            payload,
+            content=expected_content,
+            content_type="message/rfc822",
+            media_type="message/rfc822",
+            charset=None,
+            language="en",
+            extra_metadata=_eml_meta(subject, sender, to, mid, n_parts),
+            claimed_lang="en",
+        )
+    # quoted-printable UTF-8 body (German umlauts force the qp branch)
+    qp_subject = rng.choice(ARTICLE_TOPICS)
+    qp_body = "".join(
+        _sentence(rng, WORD_POOL["de"], rng.randint(6, 12)) + "\n"
+        for _ in range(3)
+    )
+    b.add(
+        "eml",
+        docgen.build_eml(
+            qp_subject, "gruss@corpus.test", "liste@corpus.test", qp_body,
+            message_id="<gen-qp@corpus.test>",
+        ),
+        content=qp_body,
+        content_type="message/rfc822",
+        media_type="message/rfc822",
+        charset=None,
+        language="de",
+        extra_metadata=_eml_meta(
+            qp_subject, "gruss@corpus.test", "liste@corpus.test",
+            "<gen-qp@corpus.test>", 1,
+        ),
+        claimed_lang="de",
+    )
+    for k in range(max(2, n_per_family)):
+        msgs, contents = [], []
+        first_hdr = None
+        for j in range(rng.randint(2, 3)):
+            subject = rng.choice(ARTICLE_TOPICS)
+            sender = f"writer{j}@corpus.test"
+            mid = f"<mbox-{k:03d}-{j}@corpus.test>"
+            body = "".join(
+                _sentence(rng, WORD_POOL["en"], rng.randint(6, 12)) + "\n"
+                for _ in range(rng.randint(2, 3))
+            )
+            msgs.append(
+                docgen.build_eml(
+                    subject, sender, "all@corpus.test", body, message_id=mid
+                )
+            )
+            contents.append(body)
+            if first_hdr is None:
+                first_hdr = _eml_meta(
+                    subject, sender, "all@corpus.test", mid, 1
+                )
+        md = dict(first_hdr)
+        md.pop("Message:num-parts")
+        md["mbox:message-count"] = str(len(msgs))
+        b.add(
+            "mbox",
+            docgen.build_mbox(msgs),
+            content="".join(contents),
+            content_type="application/mbox",
+            media_type="application/mbox",
+            charset=None,
+            language="en",
+            extra_metadata=md,
+            claimed_lang="en",
+        )
+
+    # --- msg: Outlook CFB mail ([MS-OXMSG] property streams) — routed by
+    # the same OLE2 directory inspection as DOC/XLS/PPT
+    for k in range(max(2, n_per_family)):
+        subject = rng.choice(ARTICLE_TOPICS)
+        sender = f"Olivia Chen <olivia{k}@corpus.test>"
+        to = f"staff{k}@corpus.test"
+        body = "".join(
+            _sentence(rng, WORD_POOL["en"], rng.randint(6, 12)) + "\n"
+            for _ in range(rng.randint(2, 4))
+        )
+        b.add(
+            "msg",
+            docgen.build_msg(subject, sender, to, body),
+            content=body,
+            content_type="application/vnd.ms-outlook",
+            media_type="application/vnd.ms-outlook",
+            charset=None,
+            language="en",
+            extra_metadata={
+                "dc:title": subject,
+                "Message:From": sender,
+                "Message:To": to,
+                "dc:creator": sender,
+            },
+            claimed_lang="en",
+        )
+
+    # --- wav / flac / ogg / mp4 / ico: metadata-only media formats
+    # (Tika AudioParser / MP4Parser convention — empty content, XMPDM keys)
+    wav_rate, wav_secs = rng.choice([(22050, 1), (44100, 2), (48000, 1)]), rng.randint(1, 4)
+    b.add(
+        "wav",
+        docgen.build_wav(wav_rate[0], wav_rate[1], 16, wav_rate[0] * wav_secs),
+        content="",
+        content_type="audio/vnd.wave",
+        media_type="audio/vnd.wave",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "xmpDM:audioSampleRate": str(wav_rate[0]),
+            "xmpDM:audioChannelType": "Mono" if wav_rate[1] == 1 else "Stereo",
+            "bits": "16",
+            "xmpDM:duration": f"{wav_secs:.2f}",
+        },
+    )
+    flac_rate = rng.choice([44100, 48000])
+    flac_secs = rng.randint(1, 4)
+    b.add(
+        "flac",
+        docgen.build_flac(flac_rate, 2, 16, flac_rate * flac_secs),
+        content="",
+        content_type="audio/x-flac",
+        media_type="audio/x-flac",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "xmpDM:audioSampleRate": str(flac_rate),
+            "xmpDM:audioChannelType": "Stereo",
+            "bits": "16",
+            "xmpDM:duration": f"{flac_secs:.2f}",
+        },
+    )
+    ogg_rate = rng.choice([22050, 44100])
+    b.add(
+        "ogg",
+        docgen.build_ogg_vorbis(ogg_rate, 1),
+        content="",
+        content_type="audio/ogg",
+        media_type="audio/ogg",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "xmpDM:audioSampleRate": str(ogg_rate),
+            "xmpDM:audioChannelType": "Mono",
+            "ogg:codec": "vorbis",
+        },
+    )
+    mp4_w, mp4_h = rng.choice([(640, 360), (1280, 720), (1920, 1080)])
+    mp4_dur = rng.randint(5, 300)
+    b.add(
+        "mp4",
+        docgen.build_mp4(float(mp4_dur), mp4_w, mp4_h),
+        content="",
+        content_type="video/mp4",
+        media_type="video/mp4",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "mp4:major-brand": "isom",
+            "xmpDM:duration": f"{mp4_dur:.2f}",
+            "tiff:ImageWidth": str(mp4_w),
+            "tiff:ImageLength": str(mp4_h),
+        },
+    )
+    ico_side = rng.choice([16, 32, 48])
+    b.add(
+        "ico",
+        docgen.build_ico(ico_side, ico_side),
+        content="",
+        content_type="image/vnd.microsoft.icon",
+        media_type="image/vnd.microsoft.icon",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": f"{ico_side} pixels",
+            "Image Width": f"{ico_side} pixels",
         },
     )
 

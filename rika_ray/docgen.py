@@ -551,17 +551,19 @@ def build_doc(paragraphs: list[str]) -> bytes:
 
 
 def _build_cfb(streams: dict[str, bytes]) -> bytes:
-    """Generic small CFB container: sector 0 = FAT, sector 1 = directory,
-    then the streams back to back. Fits ≤3 named streams / ~60 KB total
-    (single FAT sector) — plenty for synthetic documents."""
+    """Generic small CFB container: sector 0 = FAT, then the directory
+    chain (as many sectors as the entry count needs, 4 × 128-byte entries
+    per sector), then the streams back to back. Bounded by one FAT sector
+    (~60 KB payload) — plenty for synthetic documents."""
     sector = 512
     names = list(streams)
-    if len(names) > 3:
-        raise ValueError("small CFB builder supports ≤3 streams")
-    fat = [_FATSECT, _ENDOFCHAIN]
+    n_dir_sectors = (1 + len(names) + 3) // 4  # root + streams, 4/sector
+    fat = [_FATSECT]
+    for i in range(n_dir_sectors):  # directory chain: sectors 1..n
+        fat.append(1 + i + 1 if i < n_dir_sectors - 1 else _ENDOFCHAIN)
     dir_entries = [_cfb_dir_entry("Root Entry", 5, _ENDOFCHAIN, 0)]
     payload = b""
-    next_sid = 2
+    next_sid = 1 + n_dir_sectors
     for name in names:
         data = streams[name]
         if len(data) < 4096:
@@ -581,7 +583,7 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
         raise ValueError("streams too large for single-FAT-sector CFB")
     fat += [_FREESECT] * (sector // 4 - len(fat))
     directory = b"".join(dir_entries)
-    directory += b"\x00" * (sector - len(directory) % sector)
+    directory += b"\x00" * (n_dir_sectors * sector - len(directory))
 
     header = bytearray(512)
     header[0:8] = _CFB_MAGIC
@@ -1518,4 +1520,206 @@ def build_psd(width: int, height: int) -> bytes:
         + (8).to_bytes(2, "big")           # depth
         + (3).to_bytes(2, "big")           # mode: RGB
         + b"\x00" * 16                     # empty color/resource/layer sects
+    )
+
+
+def build_eml(
+    subject: str,
+    from_addr: str,
+    to_addr: str,
+    body: str,
+    html_body: str | None = None,
+    attachments: list[tuple[str, bytes, str]] | None = None,
+    date: str = "Mon, 12 Jan 2026 10:00:00 +0000",
+    message_id: str = "<msg-0001@fixtures.test>",
+) -> bytes:
+    """A deterministic RFC 5322 / MIME message. The plain body is emitted
+    7bit when pure ASCII, else quoted-printable UTF-8; ``html_body`` wraps
+    both in multipart/alternative (plain FIRST, per convention);
+    ``attachments`` (filename, bytes, content_type) add a multipart/mixed
+    envelope with base64 parts. Boundaries are fixed strings so the same
+    inputs always produce the same bytes."""
+    import base64
+    import quopri
+
+    def text_part(text: str, subtype: str) -> str:
+        raw = text.encode("utf-8")
+        if all(b < 0x80 for b in raw):
+            return (
+                f"Content-Type: text/{subtype}; charset=utf-8\n"
+                "Content-Transfer-Encoding: 7bit\n\n" + text
+            )
+        qp = quopri.encodestring(raw).decode("ascii")
+        return (
+            f"Content-Type: text/{subtype}; charset=utf-8\n"
+            "Content-Transfer-Encoding: quoted-printable\n\n" + qp
+        )
+
+    if html_body is not None:
+        alt_b = "=_rika_alt"
+        core = (
+            f'Content-Type: multipart/alternative; boundary="{alt_b}"\n\n'
+            f"--{alt_b}\n" + text_part(body, "plain") + f"\n--{alt_b}\n"
+            + text_part(html_body, "html") + f"\n--{alt_b}--\n"
+        )
+    else:
+        core = text_part(body, "plain")
+
+    if attachments:
+        mix_b = "=_rika_mix"
+        att_parts = []
+        for filename, data, ctype in attachments:
+            b64 = base64.encodebytes(data).decode("ascii")
+            att_parts.append(
+                f"Content-Type: {ctype}; name=\"{filename}\"\n"
+                "Content-Transfer-Encoding: base64\n"
+                "Content-Disposition: attachment; "
+                f"filename=\"{filename}\"\n\n{b64}"
+            )
+        core = (
+            f'Content-Type: multipart/mixed; boundary="{mix_b}"\n\n'
+            f"--{mix_b}\n" + core
+            + "".join(f"\n--{mix_b}\n{p}" for p in att_parts)
+            + f"\n--{mix_b}--\n"
+        )
+
+    headers = (
+        f"From: {from_addr}\n"
+        f"To: {to_addr}\n"
+        f"Subject: {subject}\n"
+        f"Date: {date}\n"
+        f"Message-ID: {message_id}\n"
+        "MIME-Version: 1.0\n"
+    )
+    return (headers + core).encode("utf-8")
+
+
+def build_mbox(messages: list[bytes], sender: str = "alice@fixtures.test") -> bytes:
+    """An mbox mailbox: each message preceded by the classic postmark line
+    (``From`` + envelope sender + ctime date) and followed by a blank
+    separator line."""
+    out = bytearray()
+    for i, m in enumerate(messages):
+        out += f"From {sender} Mon Jan 12 10:00:{i:02d} 2026\n".encode()
+        out += m
+        if not m.endswith(b"\n"):
+            out += b"\n"
+        out += b"\n"
+    return bytes(out)
+
+
+def build_wav(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits: int = 16,
+    n_samples: int = 1000,
+) -> bytes:
+    """A RIFF/WAVE file: canonical fmt chunk + a silent data chunk."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_flac(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits: int = 16,
+    total_samples: int = 44100,
+) -> bytes:
+    """A FLAC STREAMINFO-only header (no frames): the bit-packed
+    rate/channels/bits/total fields at STREAMINFO offset 10."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    si = (
+        struct.pack(">HH", 4096, 4096)   # min/max block size
+        + b"\x00" * 6                     # min/max frame size (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                    # md5 of raw audio (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def build_ogg_vorbis(sample_rate: int = 44100, channels: int = 2) -> bytes:
+    """A single Ogg page carrying the Vorbis identification header."""
+    packet = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)            # vorbis version
+        + bytes([channels])
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", -1, 128000, -1)  # bitrate max/nominal/min
+        + bytes([0xB8, 0x01])             # blocksizes + framing bit
+    )
+    header = (
+        b"OggS" + b"\x00" + b"\x02"       # version, header-type: BOS
+        + b"\x00" * 8                      # granule position
+        + struct.pack("<I", 1)             # serial number
+        + struct.pack("<I", 0)             # page sequence
+        + b"\x00" * 4                      # crc (unchecked by the sniffer)
+        + bytes([1, len(packet)])          # one segment
+    )
+    return header + packet
+
+
+def build_mp4(
+    duration_s: float = 12.5,
+    width: int = 640,
+    height: int = 360,
+    timescale: int = 1000,
+) -> bytes:
+    """A minimal ISO BMFF file: ftyp + moov(mvhd + trak(tkhd)) + empty
+    mdat — version-0 boxes with the fields the parser reads."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"               # version 0 + flags
+        + struct.pack(">II", 0, 0)         # creation/modification time
+        + struct.pack(">II", timescale, int(duration_s * timescale))
+        + b"\x00" * 80,                    # rate/volume/matrix/next-track
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"               # version 0 + enabled flags
+        + b"\x00" * 76                     # times/ids/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def build_ico(width: int = 32, height: int = 32) -> bytes:
+    """An ICO directory with one entry (payload bytes are a stub BMP
+    header; the dimension surface is the directory entry)."""
+    img = b"\x28\x00\x00\x00" + b"\x00" * 36  # BITMAPINFOHEADER-sized stub
+    entry = struct.pack(
+        "<BBBBHHII",
+        width % 256, height % 256, 0, 0, 1, 32, len(img), 22,
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + img
+
+
+def build_msg(subject: str, sender: str, to: str, body: str) -> bytes:
+    """An Outlook .msg CFB container with the UTF-16LE property streams
+    ([MS-OXMSG] __substg1.0_<prop>001F layout) for subject / sender /
+    display-to / body."""
+    return _build_cfb(
+        {
+            "__substg1.0_0037001F": subject.encode("utf-16-le"),
+            "__substg1.0_0C1A001F": sender.encode("utf-16-le"),
+            "__substg1.0_0E04001F": to.encode("utf-16-le"),
+            "__substg1.0_1000001F": body.encode("utf-16-le"),
+        }
     )

@@ -56,6 +56,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     pixel decode is the stubbed step (see module docstring)."""
     from rika_ray.stages.image_meta import (
         bmp_dimensions,
+        ico_dimensions,
         psd_dimensions,
         tiff_dimensions,
         webp_dimensions,
@@ -70,6 +71,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         "image/bmp": bmp_dimensions,
         "image/webp": webp_dimensions,
         "image/vnd.adobe.photoshop": psd_dimensions,
+        "image/vnd.microsoft.icon": ico_dimensions,
     }.get(media)
     if dims is None:
         raise ImageParseError(f"not a supported image: {media}")

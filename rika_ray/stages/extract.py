@@ -53,6 +53,7 @@ from rika_ray.stages.textual import (
 )
 
 MSWORD = "application/msword"
+MS_OUTLOOK = "application/vnd.ms-outlook"
 
 _TEXTUAL = {sniff_mod.PLAIN, sniff_mod.XML}
 _IMAGES = {
@@ -63,6 +64,7 @@ _IMAGES = {
     sniff_mod.BMP,
     sniff_mod.WEBP,
     sniff_mod.PSD,
+    sniff_mod.ICO,
 }
 
 
@@ -96,6 +98,10 @@ class ExtractStage:
             sniff_mod.RTF: self._do_rtf,
             sniff_mod.EPUB: self._do_epub,
             sniff_mod.MP3: self._do_mp3,
+            sniff_mod.WAV: self._do_wav,
+            sniff_mod.FLAC: self._do_flac,
+            sniff_mod.OGG: self._do_ogg,
+            sniff_mod.MP4: self._do_mp4,
             sniff_mod.GZIP: self._do_gzip,
             sniff_mod.BZIP2: self._do_bzip2,
             sniff_mod.XZ: self._do_xz,
@@ -111,6 +117,8 @@ class ExtractStage:
                 for kind in ("text", "spreadsheet", "presentation", "graphics")
             },
             sniff_mod.VSDX: self._do_vsdx,
+            sniff_mod.EML: self._do_eml,
+            sniff_mod.MBOX: self._do_mbox,
             sniff_mod.CSV: self._do_csv,
             sniff_mod.TSV: self._do_csv,
             sniff_mod.JSON: self._do_json,
@@ -209,6 +217,111 @@ class ExtractStage:
         content, spans, meta = extract_mp3(data)
         return content, media, None, spans, meta
 
+    # audio/video: metadata-only formats (empty content), the Tika
+    # AudioParser / Mp3Parser / MP4Parser convention the image kernels
+    # already follow
+    def _do_wav(self, data: bytes, media: str):
+        from rika_ray.stages.audio_meta import extract_wav
+
+        content, spans, meta = extract_wav(data)
+        return content, media, None, spans, meta
+
+    def _do_flac(self, data: bytes, media: str):
+        from rika_ray.stages.audio_meta import extract_flac
+
+        content, spans, meta = extract_flac(data)
+        return content, media, None, spans, meta
+
+    def _do_ogg(self, data: bytes, media: str):
+        from rika_ray.stages.audio_meta import extract_ogg
+
+        content, spans, meta = extract_ogg(data)
+        return content, media, None, spans, meta
+
+    def _do_mp4(self, data: bytes, media: str):
+        from rika_ray.stages.audio_meta import extract_mp4
+
+        content, spans, meta = extract_mp4(data)
+        return content, media, None, spans, meta
+
+    def _do_eml(self, data: bytes, media: str, _depth: int = 0):
+        # Tika RFC822Parser semantics: header metadata + every renderable
+        # MIME leaf in document order. text/plain leaves pass through
+        # decoded (charset + CTE handled by the email package); text/html
+        # leaves go through the boilerplate extractor; binary attachments
+        # are re-sniffed and routed through the same dispatch as
+        # standalone documents (the archive-member convention), bounded by
+        # the container nesting depth.
+        from rika_ray.stages.email_msg import (
+            message_leaves,
+            message_metadata,
+            parse_message,
+        )
+
+        msg = parse_message(data)
+        meta = message_metadata(msg)
+        parts: list[str] = []
+        spans: list[dict] = []
+        leaves = message_leaves(msg)
+        for ordinal, (_filename, ctype, payload) in enumerate(leaves):
+            if isinstance(payload, str):
+                if ctype == "text/html":
+                    content, p_spans, _m = extract_html(payload)
+                else:
+                    content, p_spans = payload, []
+            elif _depth + 1 < self._GZIP_MAX_DEPTH:
+                inner_media = sniff_mod.sniff_bytes(
+                    payload[:2048], payload[-4096:]
+                )
+                try:
+                    content, _ct, _cs, p_spans, _m = self._route(
+                        payload, inner_media, _depth + 1
+                    )
+                except Exception as e:  # poison attachment: skip it
+                    if isinstance(e, (MemoryError, KeyboardInterrupt)):
+                        raise
+                    continue
+            else:
+                continue
+            if content:
+                parts.append(
+                    content if content.endswith("\n") else content + "\n"
+                )
+                for s in p_spans:
+                    spans.append({**s, "page": ordinal})
+        meta["Message:num-parts"] = str(len(leaves))
+        return "".join(parts), media, None, spans, meta
+
+    def _do_mbox(self, data: bytes, media: str, _depth: int = 0):
+        # Tika MboxParser semantics: each postmark-delimited message is an
+        # embedded document parsed by the RFC822 path, texts concatenated
+        # in mailbox order (the archive convention); metadata carries the
+        # message count plus the first message's headers.
+        from rika_ray.stages.email_msg import split_mbox
+
+        blobs = split_mbox(data)
+        parts: list[str] = []
+        spans: list[dict] = []
+        meta: dict[str, str] = {}
+        for ordinal, blob in enumerate(blobs):
+            try:
+                content, _ct, _cs, m_spans, m_meta = self._do_eml(
+                    blob, sniff_mod.EML, _depth
+                )
+            except Exception as e:  # poison message: skip, keep the mailbox
+                if isinstance(e, (MemoryError, KeyboardInterrupt)):
+                    raise
+                continue
+            if ordinal == 0:
+                meta.update(m_meta)
+            if content:
+                parts.append(content)
+                for s in m_spans:
+                    spans.append({**s, "page": ordinal})
+        meta.pop("Message:num-parts", None)
+        meta["mbox:message-count"] = str(len(blobs))
+        return "".join(parts), media, None, spans, meta
+
     # Bomb guard: a member may not expand past this (per-doc, not per-job;
     # tune with worker heap — a batch holds batch_size expansions at most)
     _GZIP_MAX_EXPANDED = 256 * 1024 * 1024
@@ -297,6 +410,8 @@ class ExtractStage:
             self._do_tar,
             self._do_7z,
             self._do_rar,
+            self._do_eml,
+            self._do_mbox,
         ):
             return kernel(data, media, depth)
         return kernel(data, media)
@@ -379,6 +494,11 @@ class ExtractStage:
             if "PowerPoint Document" in streams:
                 content, spans, meta = extract_ppt(data, streams)
                 return content, sniff_mod.PPT, None, spans, meta
+            if any(nm.startswith("__substg1.0_") for nm in streams):
+                from rika_ray.stages.office import extract_msg
+
+                content, spans, meta = extract_msg(streams)
+                return content, MS_OUTLOOK, None, spans, meta
         except OfficeParseError:
             pass
         return "", media, None, [], {}

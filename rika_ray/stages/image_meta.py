@@ -180,6 +180,15 @@ def psd_dimensions(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+def ico_dimensions(data: bytes) -> tuple[int, int]:
+    """ICO directory (public ICONDIR layout): first entry's width/height
+    bytes at offsets 6/7; 0 encodes 256."""
+    if data[:4] != b"\x00\x00\x01\x00" or len(data) < 8:
+        raise ImageParseError("not an ICO")
+    w, h = data[6], data[7]
+    return w or 256, h or 256
+
+
 def bmp_dimensions(data: bytes) -> tuple[int, int]:
     if not data.startswith(b"BM") or len(data) < 26:
         raise ImageParseError("not a BMP")
@@ -241,6 +250,8 @@ def extract_image(data: bytes, media_type: str) -> tuple[str, list, dict[str, st
         w, h = webp_dimensions(data)
     elif media_type == "image/vnd.adobe.photoshop":
         w, h = psd_dimensions(data)
+    elif media_type == "image/vnd.microsoft.icon":
+        w, h = ico_dimensions(data)
     else:
         raise ImageParseError(f"unsupported image type {media_type}")
     meta["Image Height"] = f"{h} pixels"

@@ -611,3 +611,48 @@ def extract_vsdx(data: bytes) -> tuple[str, list[dict], dict[str, str]]:
             pass
     metadata["visio:page-count"] = str(len(page_files))
     return content, spans, metadata
+
+
+# Outlook MSG property streams we surface ([MS-OXMSG], public spec):
+# stream names are __substg1.0_<prop><type>, type 001F = UTF-16LE,
+# 001E = 8-bit ANSI. The reference reads these via Tika's
+# OutlookExtractor (/root/reference/lib/rika/tika_loader.rb:12-26).
+_MSG_META_PROPS = (
+    ("0037", "dc:title"),          # PidTagSubject
+    ("0C1A", "Message:From"),      # PidTagSenderName
+    ("0E04", "Message:To"),        # PidTagDisplayTo
+    ("1035", "Message:Message-ID"),  # PidTagInternetMessageId
+)
+_MSG_BODY_PROP = "1000"  # PidTagBody
+
+
+def _msg_prop(streams: dict[str, bytes], prop: str) -> str | None:
+    uni = streams.get(f"__substg1.0_{prop}001F")
+    if uni is not None:
+        return uni.decode("utf-16-le", errors="replace").rstrip("\x00")
+    ansi = streams.get(f"__substg1.0_{prop}001E")
+    if ansi is not None:
+        return ansi.decode("cp1252", errors="replace").rstrip("\x00")
+    return None
+
+
+def extract_msg(streams: dict[str, bytes]) -> tuple[str, list[dict], dict[str, str]]:
+    """(content, spans, metadata) from an Outlook .msg CFB: plain body
+    from PidTagBody, header surface from the subject/sender/recipient
+    property streams (the Tika OutlookExtractor key set)."""
+    metadata: dict[str, str] = {}
+    for prop, key in _MSG_META_PROPS:
+        v = _msg_prop(streams, prop)
+        if v:
+            metadata[key] = v
+    if "Message:From" in metadata:
+        metadata["dc:creator"] = metadata["Message:From"]
+    body = _msg_prop(streams, _MSG_BODY_PROP) or ""
+    if body and not body.endswith("\n"):
+        body += "\n"
+    spans = (
+        [{"page": 0, "order": 0, "kind": "p", "text": body.rstrip("\n")}]
+        if body
+        else []
+    )
+    return body, spans, metadata

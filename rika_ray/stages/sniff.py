@@ -48,6 +48,13 @@ BMP = "image/bmp"
 WEBP = "image/webp"
 PSD = "image/vnd.adobe.photoshop"
 VSDX = "application/vnd.ms-visio.drawing"
+EML = "message/rfc822"
+MBOX = "application/mbox"
+WAV = "audio/vnd.wave"
+FLAC = "audio/x-flac"
+OGG = "audio/ogg"
+MP4 = "video/mp4"
+ICO = "image/vnd.microsoft.icon"
 XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
@@ -89,6 +96,8 @@ _NAME_HINTS = {
     ".json": JSON,
     ".ndjson": NDJSON,
     ".jsonl": NDJSON,
+    ".eml": EML,
+    ".mbox": MBOX,
 }
 
 _XML_ROOT_RE = _re.compile(rb"<([a-zA-Z][a-zA-Z0-9_.-]*)")
@@ -112,6 +121,57 @@ def _xml_subtype(lowered: bytes) -> str:
     if root == b"feed":
         return ATOM
     return XML
+
+
+# mbox postmark: "From " + envelope sender + ctime date ("Mon Jan  1
+# 00:00:00 2026"). The date shape is the discriminator — prose starting
+# with "From " ("From here we travel…") never carries it.
+_MBOX_POSTMARK_RE = _re.compile(
+    rb"\AFrom \S+ +[A-Z][a-z]{2} [A-Z][a-z]{2} [ \d]\d"
+    rb" \d\d:\d\d:\d\d \d{4}\r?\n"
+)
+# RFC 5322 header line: field-name (printable US-ASCII minus colon), colon
+_HDR_LINE_RE = _re.compile(rb"\A[!-9;-~]{1,64}:")
+# canonical mail headers — at least two must appear for the EML verdict
+_MAIL_HDRS = frozenset(
+    (
+        b"from", b"to", b"cc", b"bcc", b"subject", b"date", b"received",
+        b"message-id", b"mime-version", b"return-path", b"delivered-to",
+        b"reply-to", b"sender", b"in-reply-to",
+    )
+)
+
+
+def _email_subtype(scan: bytes) -> str | None:
+    """Email detection within the text supertype (Tika RFC822 / mbox
+    detector semantics): an mbox postmark line, or a complete RFC 5322
+    header block — every line up to the first blank is a ``Name: value``
+    header or a folded continuation, with ≥2 canonical mail header names
+    (one alone would misfile prose like ``Note: remember the date``)."""
+    if _MBOX_POSTMARK_RE.match(scan):
+        return MBOX
+    lines = scan.split(b"\n")
+    complete = lines[:-1]  # the sniff window may truncate the last line
+    if len(complete) < 2:
+        return None
+    n_mail = 0
+    saw_blank = False
+    for ln in complete[:64]:
+        ln = ln.rstrip(b"\r")
+        if not ln:
+            saw_blank = True
+            break
+        if ln[:1] in (b" ", b"\t"):
+            continue  # folded continuation of the previous header
+        if not _HDR_LINE_RE.match(ln):
+            return None
+        if ln.split(b":", 1)[0].strip().lower() in _MAIL_HDRS:
+            n_mail += 1
+    # a complete header block (blank separator seen) with 2 canonical
+    # names, or — when the window cuts the block off — 4 to be safe
+    if n_mail >= 2 and (saw_blank or n_mail >= 4):
+        return EML
+    return None
 
 
 def _textual_subtype(scan: bytes) -> str | None:
@@ -236,6 +296,24 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return PSD
     if prefix[:4] == b"RIFF" and prefix[8:12] == b"WEBP":
         return WEBP
+    if prefix[:4] == b"RIFF" and prefix[8:12] == b"WAVE":
+        return WAV
+    if prefix.startswith(b"fLaC"):
+        return FLAC
+    if prefix.startswith(b"OggS"):
+        return OGG
+    # ISO BMFF: size + "ftyp" as the first box (MP4/QuickTime family)
+    if prefix[4:8] == b"ftyp" and len(prefix) >= 12:
+        return MP4
+    # ICO: weak 4-byte magic — require a plausible icon count and the
+    # first directory entry's reserved byte to be 0
+    if (
+        prefix[:4] == b"\x00\x00\x01\x00"
+        and len(prefix) >= 10
+        and 1 <= int.from_bytes(prefix[4:6], "little") <= 64
+        and prefix[9] == 0
+    ):
+        return ICO
     # BMP: "BM" alone collides with text ("BMW …"); require a known DIB
     # header size at offset 14 (BITMAPCOREHEADER through V5HEADER)
     if (
@@ -333,6 +411,12 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return RSS
     if lowered.startswith(b"<feed"):
         return ATOM
+    # email BEFORE the html substring scan: a message whose MIME tree
+    # contains an html alternative has "<html" inside the window, but its
+    # header block starts at byte 0 and wins (Tika detector precedence)
+    email_mt = _email_subtype(scan)
+    if email_mt is not None:
+        return email_mt
     if any(m in lowered for m in (b"<html", b"<head", b"<body")):
         return HTML
     # text-vs-binary heuristic: NUL bytes or a high ratio of control

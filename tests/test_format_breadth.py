@@ -690,3 +690,141 @@ def test_psd_header_dimensions():
     assert c == ""
     assert meta["Image Width"] == "640 pixels"
     assert meta["Image Height"] == "480 pixels"
+
+
+def test_eml_plain_body_and_header_metadata():
+    e = docgen.build_eml(
+        "Weekly update", "a@x.test", "b@x.test", "line one.\nline two.\n"
+    )
+    assert sniff.sniff_bytes(e[:2048], e[-4096:]) == sniff.EML
+    c, ctype, _cs, _sp, meta = _stage()._route(e, sniff.EML, 0)
+    assert c == "line one.\nline two.\n"
+    assert ctype == sniff.EML
+    assert meta["dc:title"] == "Weekly update"
+    assert meta["Message:From"] == "a@x.test"
+    assert meta["Message:num-parts"] == "1"
+
+
+def test_eml_multipart_alternative_prefers_plain():
+    """multipart/alternative emits ONE rendering (plain preferred) — both
+    would double-count the body in downstream dedup/token stats. The html
+    member inside the message must not flip the sniff to text/html."""
+    e = docgen.build_eml(
+        "Grüße", "a@x.test", "b@x.test", "Grüße aus Köln.\n",
+        html_body="<html><body><p>Grüße aus <b>Köln</b>.</p></body></html>",
+    )
+    assert sniff.sniff_bytes(e[:2048], e[-4096:]) == sniff.EML
+    c, *_rest, meta = _stage()._route(e, sniff.EML, 0)
+    assert c == "Grüße aus Köln.\n"  # qp-decoded utf-8, plain member only
+    assert meta["Message:num-parts"] == "1"
+
+
+def test_eml_text_attachment_extracts_through_dispatch():
+    e = docgen.build_eml(
+        "Report", "a@x.test", "b@x.test", "See attachment.\n",
+        attachments=[("notes.txt", b"attached note text.\n", "text/plain")],
+    )
+    c, *_rest, meta = _stage()._route(e, sniff.EML, 0)
+    assert c == "See attachment.\nattached note text.\n"
+    assert meta["Message:num-parts"] == "2"
+
+
+def test_mbox_concatenates_messages_in_order():
+    e1 = docgen.build_eml("One", "a@x.test", "b@x.test", "first body.\n")
+    e2 = docgen.build_eml("Two", "c@x.test", "b@x.test", "second body.\n")
+    mb = docgen.build_mbox([e1, e2])
+    assert sniff.sniff_bytes(mb[:2048], mb[-4096:]) == sniff.MBOX
+    c, *_rest, meta = _stage()._route(mb, sniff.MBOX, 0)
+    assert c == "first body.\nsecond body.\n"
+    assert meta["mbox:message-count"] == "2"
+    assert meta["dc:title"] == "One"  # headers from the first message
+
+
+def test_email_sniff_rejects_prose_with_colons():
+    p = b"Note: remember the date\nAlso: bring snacks\n\nprose follows.\n"
+    assert sniff.sniff_bytes(p, p) == sniff.PLAIN
+    p2 = b"From here we travel on.\nThe journey takes days.\nWe arrive.\n"
+    assert sniff.sniff_bytes(p2, p2) == sniff.PLAIN
+
+
+def test_wav_flac_ogg_metadata():
+    w = docgen.build_wav(22050, 1, 16, 44100)
+    assert sniff.sniff_bytes(w[:2048], w[-4096:]) == sniff.WAV
+    c, *_r, meta = _stage()._route(w, sniff.WAV, 0)
+    assert c == ""
+    assert meta["xmpDM:audioSampleRate"] == "22050"
+    assert meta["xmpDM:audioChannelType"] == "Mono"
+    assert meta["xmpDM:duration"] == "2.00"
+
+    f = docgen.build_flac(48000, 2, 24, 96000)
+    assert sniff.sniff_bytes(f[:2048], f[-4096:]) == sniff.FLAC
+    _c, *_r2, fmeta = _stage()._route(f, sniff.FLAC, 0)
+    assert fmeta["bits"] == "24"
+    assert fmeta["xmpDM:duration"] == "2.00"
+
+    o = docgen.build_ogg_vorbis(44100, 2)
+    assert sniff.sniff_bytes(o[:2048], o[-4096:]) == sniff.OGG
+    _c, *_r3, ometa = _stage()._route(o, sniff.OGG, 0)
+    assert ometa["ogg:codec"] == "vorbis"
+    assert ometa["xmpDM:audioSampleRate"] == "44100"
+
+
+def test_mp4_box_walk_duration_and_dims():
+    m = docgen.build_mp4(12.5, 640, 360)
+    assert sniff.sniff_bytes(m[:2048], m[-4096:]) == sniff.MP4
+    c, *_r, meta = _stage()._route(m, sniff.MP4, 0)
+    assert c == ""
+    assert meta["xmpDM:duration"] == "12.50"
+    assert meta["tiff:ImageWidth"] == "640"
+    assert meta["tiff:ImageLength"] == "360"
+    assert meta["mp4:major-brand"] == "isom"
+
+
+def test_ico_directory_dimensions():
+    i = docgen.build_ico(48, 48)
+    assert sniff.sniff_bytes(i, i) == sniff.ICO
+    _c, *_r, meta = _stage()._route(i, sniff.ICO, 0)
+    assert meta["Image Width"] == "48 pixels"
+    # 256 encodes as 0 in the directory byte
+    big = docgen.build_ico(256, 256)
+    _c2, *_r2, meta2 = _stage()._route(big, sniff.ICO, 0)
+    assert meta2["Image Width"] == "256 pixels"
+
+
+def test_riff_disambiguation_wav_vs_webp():
+    w = docgen.build_wav()
+    assert sniff.sniff_bytes(w[:2048], w[-4096:]) == sniff.WAV
+    # truncated RIFF with neither fourcc stays binary
+    assert sniff.sniff_bytes(b"RIFF\x10\x00\x00\x00JUNK\x00\x00\x00\x00", b"") == sniff.OCTET
+
+
+def test_msg_outlook_property_streams():
+    m = docgen.build_msg(
+        "Q3 planning", "eve@corp.test", "team@corp.test",
+        "agenda items follow.\nbring estimates.",
+    )
+    assert sniff.sniff_bytes(m[:2048], m[-4096:]) == sniff.OLE2
+    c, ctype, _cs, _sp, meta = _stage()._route(m, sniff.OLE2, 0)
+    assert ctype == "application/vnd.ms-outlook"
+    assert c == "agenda items follow.\nbring estimates.\n"
+    assert meta["dc:title"] == "Q3 planning"
+    assert meta["Message:From"] == "eve@corp.test"
+    assert meta["Message:To"] == "team@corp.test"
+
+
+def test_mbox_body_from_line_does_not_split():
+    """A body line starting 'From ' (no ctime date) must not be treated
+    as a postmark — the regression that dropped a line from an sf0.01
+    golden row."""
+    e1 = docgen.build_eml(
+        "One", "a@x.test", "b@x.test",
+        "first line.\nFrom state way but being one me.\nlast line.\n",
+    )
+    e2 = docgen.build_eml("Two", "c@x.test", "b@x.test", "second body.\n")
+    mb = docgen.build_mbox([e1, e2])
+    c, *_rest, meta = _stage()._route(mb, sniff.MBOX, 0)
+    assert c == (
+        "first line.\nFrom state way but being one me.\nlast line.\n"
+        "second body.\n"
+    )
+    assert meta["mbox:message-count"] == "2"

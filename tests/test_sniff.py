@@ -65,10 +65,11 @@ def test_detect_batch_kernel(corpus_tables):
             "application/msword",
             "application/vnd.ms-excel",
             "application/vnd.ms-powerpoint",
+            "application/vnd.ms-outlook",
         ):
             # sniff sees the OLE2 container; the extract stage refines it
             # by directory stream names (WordDocument / Workbook /
-            # PowerPoint Document)
+            # PowerPoint Document / __substg1.0_*)
             assert got[url][0] == "application/x-ole-storage", (url, got[url])
         elif any(
             f"/{fam}-" in url
