@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 22
+CORPUS_VERSION = 23
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -957,6 +957,126 @@ def generate_corpus(
                 "dc:creator": sender,
             },
             claimed_lang="en",
+        )
+
+    # --- ics / vcf: iCalendar and vCard (Tika mime-magic BEGIN: detection,
+    # text-parser passthrough) — content IS the text, component shape in
+    # metadata like csv:*
+    for k in range(max(2, n_per_family)):
+        n_events = 2 + (k % 2)
+        summaries = [
+            _sentence(rng, WORD_POOL["en"], rng.randint(5, 8)).rstrip(".")
+            for _ in range(n_events)
+        ]
+        descs = [
+            _sentence(rng, WORD_POOL["en"], rng.randint(8, 14))
+            for _ in range(n_events)
+        ]
+        lines = ["BEGIN:VCALENDAR", "VERSION:2.0", "PRODID:-//corpus//EN"]
+        for j in range(n_events):
+            lines += [
+                "BEGIN:VEVENT",
+                f"UID:evt-{k:03d}-{j}@corpus.test",
+                f"DTSTART:202601{10 + j:02d}T090000Z",
+                f"SUMMARY:{summaries[j]}",
+                f"DESCRIPTION:{descs[j]}",
+                "END:VEVENT",
+            ]
+        lines.append("END:VCALENDAR")
+        ics_text = "\r\n".join(lines) + "\r\n"
+        b.add(
+            "ics",
+            ics_text.encode("utf-8"),
+            content=ics_text,
+            content_type="text/calendar; charset=UTF-8",
+            media_type="text/calendar",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "ical:version": "2.0",
+                "ical:num-events": str(n_events),
+                "dc:title": summaries[0],
+            },
+            claimed_lang="en",
+        )
+
+    for k in range(max(2, n_per_family)):
+        n_cards = 1 + (k % 2)
+        names = [
+            " ".join(rng.choice(WORD_POOL["en"]).title() for _ in range(2))
+            for _ in range(n_cards)
+        ]
+        lines = []
+        for j in range(n_cards):
+            note = _sentence(rng, WORD_POOL["en"], rng.randint(8, 14))
+            lines += [
+                "BEGIN:VCARD",
+                "VERSION:4.0",
+                f"FN:{names[j]}",
+                f"ORG:Corpus Research Group {j}",
+                f"EMAIL:card{k}{j}@corpus.test",
+                f"NOTE:{note}",
+                "END:VCARD",
+            ]
+        vcf_text = "\r\n".join(lines) + "\r\n"
+        b.add(
+            "vcf",
+            vcf_text.encode("utf-8"),
+            content=vcf_text,
+            content_type="text/vcard; charset=UTF-8",
+            media_type="text/vcard",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={
+                "Content-Encoding": "UTF-8",
+                "vcard:num-cards": str(n_cards),
+                "dc:title": names[0],
+            },
+            claimed_lang="en",
+        )
+
+    # --- css / js: code text, detected by resource name within the text
+    # supertype (Tika DefaultDetector glob: *.css → text/css, *.js →
+    # application/javascript) and extracted by the plain-text parser
+    for k in range(max(2, n_per_family)):
+        comment = _sentence(rng, WORD_POOL["en"], rng.randint(10, 16))
+        css_text = (
+            f"/* {comment} */\n"
+            "body { margin: 0; font-family: serif; }\n"
+            f".panel-{k} {{ padding: {4 + k}px; color: #333; }}\n"
+            "a:hover { text-decoration: underline; }\n"
+        )
+        b.add(
+            "css",
+            css_text.encode("utf-8"),
+            content=css_text,
+            content_type="text/css; charset=UTF-8",
+            media_type="text/css",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8"},
+            url=f"https://fixtures.test/css/{k:06d}/site.css",
+        )
+        js_comment = _sentence(rng, WORD_POOL["en"], rng.randint(10, 16))
+        ext = ".mjs" if k % 2 else ".js"
+        js_text = (
+            f"// {js_comment}\n"
+            f"export function renderPanel{k}(el) {{\n"
+            f"  el.textContent = 'panel {k}';\n"
+            "  return el;\n"
+            "}\n"
+        )
+        b.add(
+            "js",
+            js_text.encode("utf-8"),
+            content=js_text,
+            content_type="application/javascript; charset=UTF-8",
+            media_type="application/javascript",
+            charset="UTF-8",
+            language="en",
+            extra_metadata={"Content-Encoding": "UTF-8"},
+            url=f"https://fixtures.test/js/{k:06d}/app{ext}",
         )
 
     # --- wav / flac / ogg / mp4 / ico: metadata-only media formats

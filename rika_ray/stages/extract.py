@@ -46,10 +46,12 @@ from rika_ray.stages.rtf import extract_rtf
 from rika_ray.stages.textual import (
     extract_csv,
     extract_feed,
+    extract_ical,
     extract_json,
     extract_markdown,
     extract_ndjson,
     extract_svg,
+    extract_vcard,
 )
 
 MSWORD = "application/msword"
@@ -121,6 +123,12 @@ class ExtractStage:
             sniff_mod.MBOX: self._do_mbox,
             sniff_mod.CSV: self._do_csv,
             sniff_mod.TSV: self._do_csv,
+            sniff_mod.ICAL: self._do_ical,
+            sniff_mod.VCARD: self._do_vcard,
+            # code text: Tika detects text/css / application/javascript by
+            # resource name and extracts through the plain-text parser
+            sniff_mod.CSS: self._do_text,
+            sniff_mod.JS: self._do_text,
             sniff_mod.JSON: self._do_json,
             sniff_mod.NDJSON: self._do_ndjson,
             sniff_mod.MARKDOWN: self._do_markdown,
@@ -146,6 +154,18 @@ class ExtractStage:
         text, cs = charset_mod.decode_text(data)
         delim = "\t" if media == sniff_mod.TSV else ","
         content, spans, meta = extract_csv(text, delim)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_ical(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_ical(text)
+        meta["Content-Encoding"] = cs
+        return content, f"{media}; charset={cs}", cs, spans, meta
+
+    def _do_vcard(self, data: bytes, media: str):
+        text, cs = charset_mod.decode_text(data)
+        content, spans, meta = extract_vcard(text)
         meta["Content-Encoding"] = cs
         return content, f"{media}; charset={cs}", cs, spans, meta
 

@@ -55,6 +55,10 @@ FLAC = "audio/x-flac"
 OGG = "audio/ogg"
 MP4 = "video/mp4"
 ICO = "image/vnd.microsoft.icon"
+ICAL = "text/calendar"
+VCARD = "text/vcard"
+CSS = "text/css"
+JS = "application/javascript"
 XLS = "application/vnd.ms-excel"
 PPT = "application/vnd.ms-powerpoint"
 HTML = "text/html"
@@ -98,6 +102,11 @@ _NAME_HINTS = {
     ".jsonl": NDJSON,
     ".eml": EML,
     ".mbox": MBOX,
+    ".ics": ICAL,
+    ".vcf": VCARD,
+    ".css": CSS,
+    ".js": JS,
+    ".mjs": JS,
 }
 
 _XML_ROOT_RE = _re.compile(rb"<([a-zA-Z][a-zA-Z0-9_.-]*)")
@@ -176,9 +185,15 @@ def _email_subtype(scan: bytes) -> str | None:
 
 def _textual_subtype(scan: bytes) -> str | None:
     """Structured-text detection within the text supertype: JSON / NDJSON
-    (brace-led with a string key), Markdown (heading-led with a second
-    block signal), CSV / TSV (Tika TextAndCSVParser-style delimiter
-    consistency across the first complete lines)."""
+    (brace-led with a string key), iCalendar / vCard (their mandated
+    BEGIN: first line — the Tika mime-magic strings, case-sensitive at
+    offset 0 like Tika's), Markdown (heading-led with a second block
+    signal), CSV / TSV (Tika TextAndCSVParser-style delimiter consistency
+    across the first complete lines)."""
+    if scan.startswith(b"BEGIN:VCALENDAR"):
+        return ICAL
+    if scan.startswith(b"BEGIN:VCARD"):
+        return VCARD
     s = scan.lstrip()
     if s[:1] == b"{":
         # NDJSON: every complete line is a brace-delimited object

@@ -220,3 +220,47 @@ def extract_feed(data: bytes, kind: str) -> tuple[str, list, dict]:
         meta["dc:title"] = feed_title
     content = "\n".join(lines) + ("\n" if lines else "")
     return content, [], meta
+
+
+def extract_ical(text: str) -> tuple[str, list, dict]:
+    """iCalendar (RFC 5545): content passes through — Tika detects
+    text/calendar by the BEGIN:VCALENDAR magic and falls back to the text
+    parser for the body, so the extraction IS the text (the reference
+    inherits this via the Tika jar,
+    ``/root/reference/lib/rika/tika_loader.rb:12-26``). Component shape
+    goes to metadata the way ``csv:*`` does for tables: spec VERSION and
+    the VEVENT count, plus the first SUMMARY as the title surface."""
+    meta: dict[str, str] = {}
+    n_events = 0
+    title: str | None = None
+    for raw in text.split("\n"):
+        line = raw.rstrip("\r")
+        if line.startswith("VERSION:") and "ical:version" not in meta:
+            meta["ical:version"] = line[8:].strip()
+        elif line == "BEGIN:VEVENT":
+            n_events += 1
+        elif line.startswith("SUMMARY:") and title is None:
+            title = line[8:].strip()
+    meta["ical:num-events"] = str(n_events)
+    if title:
+        meta["dc:title"] = title
+    return text, [], meta
+
+
+def extract_vcard(text: str) -> tuple[str, list, dict]:
+    """vCard (RFC 6350): content passes through (same Tika
+    magic-detect-plus-text-parse convention as iCalendar); the card count
+    and the first formatted name go to metadata."""
+    meta: dict[str, str] = {}
+    n_cards = 0
+    fn: str | None = None
+    for raw in text.split("\n"):
+        line = raw.rstrip("\r")
+        if line == "BEGIN:VCARD":
+            n_cards += 1
+        elif line.startswith("FN:") and fn is None:
+            fn = line[3:].strip()
+    meta["vcard:num-cards"] = str(n_cards)
+    if fn:
+        meta["dc:title"] = fn
+    return text, [], meta

@@ -828,3 +828,62 @@ def test_mbox_body_from_line_does_not_split():
         "second body.\n"
     )
     assert meta["mbox:message-count"] == "2"
+
+
+# ------------------------------------------------- iCal / vCard / code ----
+
+def test_ical_content_sniff_and_shape_metadata():
+    ics = (
+        "BEGIN:VCALENDAR\r\nVERSION:2.0\r\nPRODID:-//x//EN\r\n"
+        "BEGIN:VEVENT\r\nUID:1@x\r\nDTSTART:20260110T090000Z\r\n"
+        "SUMMARY:Quarterly sync\r\nEND:VEVENT\r\n"
+        "BEGIN:VEVENT\r\nUID:2@x\r\nDTSTART:20260111T090000Z\r\n"
+        "SUMMARY:Offsite\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n"
+    ).encode()
+    assert sniff.sniff_bytes(ics[:2048], ics[-4096:]) == sniff.ICAL
+    c, ctype, cs, _sp, meta = _stage()._route(ics, sniff.ICAL, 0)
+    assert c == ics.decode()
+    assert ctype.startswith("text/calendar; charset=")
+    assert meta["ical:version"] == "2.0"
+    assert meta["ical:num-events"] == "2"
+    assert meta["dc:title"] == "Quarterly sync"
+
+
+def test_vcard_content_sniff_and_card_count():
+    vcf = (
+        "BEGIN:VCARD\r\nVERSION:4.0\r\nFN:Ada Lovelace\r\n"
+        "EMAIL:ada@x.test\r\nEND:VCARD\r\n"
+        "BEGIN:VCARD\r\nVERSION:4.0\r\nFN:Alan Turing\r\nEND:VCARD\r\n"
+    ).encode()
+    assert sniff.sniff_bytes(vcf[:2048], vcf[-4096:]) == sniff.VCARD
+    c, ctype, _cs, _sp, meta = _stage()._route(vcf, sniff.VCARD, 0)
+    assert c == vcf.decode()
+    assert ctype.startswith("text/vcard; charset=")
+    assert meta["vcard:num-cards"] == "2"
+    assert meta["dc:title"] == "Ada Lovelace"
+
+
+def test_css_js_name_hint_refines_plain_text():
+    from rika_ray.stages.sniff import refine_by_name
+
+    css = b"/* layout rules for the panel grid */\nbody { margin: 0; }\n"
+    assert sniff.sniff_bytes(css, css) == sniff.PLAIN
+    assert refine_by_name(sniff.PLAIN, "https://x.test/a/site.css") == sniff.CSS
+    assert refine_by_name(sniff.PLAIN, "https://x.test/app.js?v=3") == sniff.JS
+    assert refine_by_name(sniff.PLAIN, "https://x.test/mod.mjs") == sniff.JS
+    # magic wins: a PDF at a .css url is never refined
+    assert refine_by_name(sniff.PDF, "https://x.test/site.css") == sniff.PDF
+    # code text extracts through the plain-text kernel, media preserved
+    c, ctype, _cs, _sp, _m = _stage()._route(css, sniff.CSS, 0)
+    assert c == css.decode()
+    assert ctype.startswith("text/css; charset=")
+
+
+def test_prose_begin_line_is_not_calendar():
+    t = b"BEGIN:VCALENDAR is the first line of an iCalendar file.\nBut this is prose explaining it, not a calendar itself.\nStill, the magic string anchors at offset zero only.\n"
+    # Tika's magic matches at offset 0 — and so does ours; prose that
+    # merely MENTIONS the string mid-text stays plain
+    t2 = b"The string BEGIN:VCALENDAR appears mid-line here.\nSecond line of prose for the sniff window.\nThird line keeps it textual.\n"
+    assert sniff.sniff_bytes(t2[:2048], t2[-4096:]) == sniff.PLAIN
+    # offset-0 match IS calendar (matching Tika's detector exactly)
+    assert sniff.sniff_bytes(t[:2048], t[-4096:]) == sniff.ICAL
