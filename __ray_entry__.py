@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dedup.neardup_clusters,
         "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_exact": dedup.embedding_neardup_exact,
         # --- similarity search ---
@@ -464,6 +465,32 @@ def oracle_sql() -> dict[str, str]:
             f"FROM inter JOIN sizes sa ON sa.doc_id = da "
             f"JOIN sizes sb ON sb.doc_id = db "
             f"WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5 "
+            f"ORDER BY doc_a, doc_b"
+        ),
+        "simhash_neardup_pairs": (
+            # full independent recomputation of the operator: MD5 shingle
+            # feature hashes (md5_number_lower == digest bytes 8:16 LE,
+            # matching the engine's hashlib.md5 slice), 64 bit-votes per
+            # doc, packed signature, brute-force bit_count(xor) ≤ 3 over
+            # all pairs — the engine's 4×16 banding is pigeonhole-complete
+            # for hamming ≤ 3, so its set must equal this one exactly
+            f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
+            f"FROM documents), "
+            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
+            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
+            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"ex AS (SELECT doc_id, md5_number_lower(unnest(shingles)) "
+            f"AS h FROM sh), "
+            f"bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS vote FROM ex, "
+            f"(SELECT unnest(range(64)) AS b) GROUP BY doc_id, b), "
+            f"sig AS (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN "
+            f"(1::UBIGINT << b) ELSE 0 END)::UBIGINT AS s FROM bits "
+            f"GROUP BY doc_id) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"bit_count(xor(a.s, b.s))::BIGINT AS hamming "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            f"WHERE bit_count(xor(a.s, b.s)) <= 3 "
             f"ORDER BY doc_a, doc_b"
         ),
         "neardup_clusters": (

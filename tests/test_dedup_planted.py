@@ -319,3 +319,47 @@ def test_neardup_clusters_at_32_cpus(planted_dir):
     got = {tuple(p) for p in json.loads(line[0][len("RESULT:"):])}
     # planted: 20 ~ 0, 21 == 2, 22 ~ 1 → three 2-doc clusters labeled by min
     assert got == {(0, 0), (20, 0), (1, 1), (22, 1), (2, 2), (21, 2)}
+
+
+def test_popcount64_matches_python():
+    import numpy as np
+
+    from rika_ray.pipelines.dedup import _popcount64
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 2**63, size=200, dtype=np.uint64)
+    xs[:3] = [0, 1, 0xFFFFFFFFFFFFFFFF]
+    got = _popcount64(xs.copy())
+    exp = np.array([bin(int(v)).count("1") for v in xs], dtype=np.uint64)
+    assert (got == exp).all()
+
+
+def test_simhash_neardup_pairs_planted(ray_session, planted_dir):
+    """Banding must return exactly the brute-force hamming-≤-3 set over
+    the md5-shingle signatures (pigeonhole completeness), and the planted
+    exact dup (hamming 0) must be in it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rika_ray.pipelines.dedup import (
+        _md5_shingle_simhash64,
+        _popcount64,
+        simhash_neardup_pairs,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(planted_dir).take_all()
+    }
+    assert got[(2, 21)] == 0  # exact dup: identical signature
+    t = pq.read_table(planted_dir + "/documents.parquet")
+    ids = t["doc_id"].to_pylist()
+    sims = _md5_shingle_simhash64(t["text"].to_pylist())
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = int(_popcount64(np.array([sims[i] ^ sims[j]]))[0])
+            if h <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                exp[(a, b)] = h
+    assert got == exp
