@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 23
+CORPUS_VERSION = 24
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -1585,9 +1585,14 @@ def generate_corpus(
             "exif:DateTime": "2020:01:02 03:04:05",
         },
     )
+    # real pixel data (deterministic gradient) with every PNG filter type
+    # in play — the multimodal pipeline REALLY decodes these (codecs.py)
     b.add(
         "png",
-        docgen.build_png(64, 48),
+        docgen.build_png_rgb(
+            docgen.gradient_pixels(48, 64, seed=3),
+            filters=[y % 5 for y in range(48)],
+        ),
         content="",
         content_type="image/png",
         media_type="image/png",
@@ -1611,7 +1616,7 @@ def generate_corpus(
     )
     b.add(
         "bmp",
-        docgen.build_bmp(40, 30),
+        docgen.build_bmp_rgb(docgen.gradient_pixels(30, 40, seed=9)),
         content="",
         content_type="image/bmp",
         media_type="image/bmp",

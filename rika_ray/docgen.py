@@ -1723,3 +1723,31 @@ def build_msg(subject: str, sender: str, to: str, body: str) -> bytes:
             "__substg1.0_1000001F": body.encode("utf-16-le"),
         }
     )
+
+
+def build_png_rgb(pixels, filters=None) -> bytes:
+    """A REAL 8-bit RGB PNG with pixel data (filters selectable per row
+    to exercise every unfilter path); delegates to the codec module so
+    fixtures and decoder share one spec implementation."""
+    from rika_ray.stages.codecs import png_encode
+
+    return png_encode(pixels, filters)
+
+
+def build_bmp_rgb(pixels) -> bytes:
+    """A REAL uncompressed 24-bit BMP with pixel data."""
+    from rika_ray.stages.codecs import bmp_encode
+
+    return bmp_encode(pixels)
+
+
+def gradient_pixels(height: int, width: int, seed: int = 0):
+    """Deterministic test pattern: channel-distinct affine gradients."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    r = (3 * x + 5 * y + 7 * seed) % 256
+    g = (11 * x + 2 * y + 13 * seed) % 256
+    bl = (x * y + 17 * seed) % 256
+    return np.stack([r, g, bl], axis=-1).astype(np.uint8)

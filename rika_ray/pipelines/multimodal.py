@@ -7,9 +7,11 @@ is real and tested; the *codec* step is stubbed deterministically because
 the image/audio libraries are not in this container:
 
 - header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
-- pixel/PCM decode uses a clearly-marked deterministic fake
-  (hash-seeded arrays) unless a real decoder (PIL / soundfile) is
-  importable, in which case it is used;
+- pixel/PCM decode is REAL for the formats whose whole decode path is
+  public-spec arithmetic — PNG (stdlib zlib + unfilter), uncompressed
+  BMP, RIFF/WAVE PCM (``rika_ray.stages.codecs``) — and for everything
+  when PIL is importable; entropy-coded formats (JPEG/GIF/TIFF/WebP,
+  MP3/FLAC/Vorbis) use a clearly-marked deterministic fake otherwise;
 - resize / feature-extract / frame-sample are REAL numpy math over the
   decoded arrays (they work identically on fake or real pixels).
 
@@ -81,6 +83,17 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8), media
+    # REAL pure-numpy decode where the whole path is public-spec
+    # arithmetic (PNG: stdlib zlib + unfilter; BMP: uncompressed) — the
+    # fake only remains for entropy-coded formats (JPEG/GIF/TIFF/WebP)
+    if media == "image/png":
+        from rika_ray.stages.codecs import png_decode
+
+        return png_decode(payload), media
+    if media == "image/bmp":
+        from rika_ray.stages.codecs import bmp_decode
+
+        return bmp_decode(payload), media
     return _fake_pixels(payload, h, w), media
 
 
@@ -254,6 +267,19 @@ def decode_audio_stub(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
     return rng.standard_normal(sample_rate).astype(np.float32)
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Mono float32 PCM: REAL decode for RIFF/WAVE integer PCM (pure
+    numpy, ``rika_ray.stages.codecs.wav_pcm_decode``); the deterministic
+    stub covers compressed codecs (MP3/FLAC/Vorbis) the container has no
+    decoder for."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from rika_ray.stages.codecs import wav_pcm_decode
+
+        samples, _rate = wav_pcm_decode(payload)
+        return samples
+    return decode_audio_stub(payload)
+
+
 def frame_sample(
     pcm: np.ndarray, frame_len: int = 400, hop: int = 160
 ) -> np.ndarray:
@@ -273,7 +299,7 @@ class AudioFrameStage:
         n_frames, energies = [], []
         for i in range(len(batch)):
             payload = batch["html"][i].as_py() or b""
-            frames = frame_sample(decode_audio_stub(payload))
+            frames = frame_sample(decode_audio(payload))
             n_frames.append(frames.shape[0])
             energies.append(float(np.square(frames).mean()) if frames.size else 0.0)
         return pa.table(

@@ -21,7 +21,14 @@ from rika_ray.pipelines import multimodal as mm
     "payload,h,w",
     [
         (docgen.build_jpeg(48, 32), 32, 48),
-        (docgen.build_png(64, 48), 48, 64),
+        # real-pixel PNG: exercises the pure-numpy codec path
+        (
+            docgen.build_png_rgb(
+                docgen.gradient_pixels(48, 64), filters=[2] * 48
+            ),
+            48,
+            64,
+        ),
         (docgen.build_gif(32, 16), 16, 32),
     ],
 )
@@ -38,7 +45,9 @@ def test_decode_contract_shape_dtype_layout(payload, h, w):
 
 
 def test_stub_decode_is_deterministic():
-    payload = docgen.build_png(20, 10)
+    # GIF stays behind the stub (LZW entropy coding); PNG no longer
+    # qualifies — it has a REAL decoder (rika_ray.stages.codecs)
+    payload = docgen.build_gif(20, 10)
     a, _ = mm.decode_image(payload)
     b, _ = mm.decode_image(payload)
     assert np.array_equal(a, b)

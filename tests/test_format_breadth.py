@@ -317,7 +317,8 @@ def test_new_image_types_decode_with_stub():
 
     for payload, h, w in (
         (docgen.build_tiff(20, 10), 10, 20),
-        (docgen.build_bmp(16, 8), 8, 16),
+        # bmp has a REAL decoder now — feed it real pixels
+        (docgen.build_bmp_rgb(docgen.gradient_pixels(8, 16)), 8, 16),
         (docgen.build_webp(12, 6), 6, 12),
     ):
         pixels, media = decode_image(payload)

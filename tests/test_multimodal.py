@@ -82,9 +82,15 @@ def test_decode_stage_poison_rows(ray_session):
 
     batch = pa.table(
         {
-            "url": ["u1", "u2"],
+            "url": ["u1", "u2", "u3"],
             "html": pa.array(
-                [docgen.build_png(4, 4), b"\x89PNG\r\n\x1a\nGARBAGE"],
+                [
+                    docgen.build_png_rgb(docgen.gradient_pixels(4, 4)),
+                    b"\x89PNG\r\n\x1a\nGARBAGE",
+                    # header-only PNG: dims parse but there is no pixel
+                    # data — the REAL decoder correctly refuses it
+                    docgen.build_png(4, 4),
+                ],
                 pa.large_binary(),
             ),
         }
@@ -93,6 +99,7 @@ def test_decode_stage_poison_rows(ray_session):
     rows = out.to_pylist()
     assert rows[0]["error"] is None and rows[0]["height"] == 4
     assert rows[1]["error"] is not None and rows[1]["pixels"] is None
+    assert rows[2]["error"] is not None and "IDAT" in rows[2]["error"]
 
 
 def test_audio_stage_batch():
