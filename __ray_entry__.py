@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "events_distinct_users": relational.events_distinct_users,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "purchase_last_click": relational.purchase_last_click,
         "dedup_exact": relational.dedup_exact,
@@ -368,6 +369,16 @@ def oracle_sql() -> dict[str, str]:
             # engines regardless of float summation order
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) / 100.0 AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_sliding": (
+            # 3-hour window stepping hourly: an hour bucket h contributes
+            # to windows h, h-1h, h-2h — same mapping the engine explodes
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hour, "
+            "COUNT(*) AS n FROM events GROUP BY 1), "
+            "x AS (SELECT unnest([hour, hour - INTERVAL 1 HOUR, "
+            "hour - INTERVAL 2 HOUR]) AS window_start, n FROM h) "
+            "SELECT window_start, SUM(n)::BIGINT AS n_events FROM x "
+            "GROUP BY window_start ORDER BY window_start"
         ),
         "user_sessions": (
             "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, "

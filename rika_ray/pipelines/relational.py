@@ -538,6 +538,75 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_sliding(sf_dir: str, window_hours: int = 3) -> ray.data.Dataset:
+    """SLIDING-window event counts: a ``window_hours``-hour window
+    stepping hourly — ``(window_start, n_events)`` where n_events counts
+    events with ``window_start <= ts < window_start + window_hours``.
+    Complements the tumbling ``events_hourly`` (§2.10 streaming-shaped
+    extension; the task brief's "windowed aggregate" custom operator).
+
+    Scale shape: per-batch hour-bucket PARTIAL counts collapse the corpus
+    to (distinct hours) rows before any shuffle; each hour row then
+    explodes to the ``window_hours`` windows containing it (an hour h is
+    inside windows h, h-1h, ..., h-(W-1)h) and a second result-sized
+    groupby sums per window. Both all-to-alls move time-bounded tables —
+    never event rows — so corpus size only affects the streaming scan."""
+    us = 3_600_000_000  # one hour in microseconds
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "hour", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+        g = batch.group_by(["hour"]).aggregate([("ts", "count")])
+        return pa.table(
+            {
+                "hour": pc.cast(g["hour"], pa.timestamp("us")),
+                "n": pc.cast(g["ts_count"], pa.int64()),
+            }
+        )
+
+    hours = (
+        _rp(sf_dir, "events", ["ts"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for k in range(window_hours):
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pc.subtract(
+                            pc.cast(batch["hour"], pa.timestamp("us")),
+                            pa.scalar(k * us, pa.duration("us")),
+                        ),
+                        "n": batch["n"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def _widen(batch: pa.Table) -> pa.Table:
+        # the shuffle re-narrows the key to timestamp[s]; the oracle (and
+        # the input ts column) are timestamp[us] — match widths for the
+        # driver hash (same fix as events_hourly)
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(batch["window_start"], pa.timestamp("us")),
+        )
+
+    return (
+        hours.map_batches(_explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .map_batches(_widen, batch_format="pyarrow")
+        .sort("window_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stream-shaped custom operators (SURVEY.md "Custom operators"): session
 # windows + as-of join via BATCHED sort-within-partition windowing — one
