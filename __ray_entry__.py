@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
+        "top_parts_per_brand": relational.top_parts_per_brand,
         "user_sessions": relational.user_sessions,
         "purchase_last_click": relational.purchase_last_click,
         "dedup_exact": relational.dedup_exact,
@@ -369,6 +370,15 @@ def oracle_sql() -> dict[str, str]:
             # engines regardless of float summation order
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) / 100.0 AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "top_parts_per_brand": (
+            # per-group top-k = the ROW_NUMBER window the engine computes
+            # with an in-batch combiner + per-brand ranking
+            "SELECT p_brand, p_partkey, p_retailprice, rank FROM ("
+            "SELECT p_brand, p_partkey, p_retailprice, "
+            "ROW_NUMBER() OVER (PARTITION BY p_brand "
+            "ORDER BY p_retailprice DESC, p_partkey) AS rank FROM part) "
+            "WHERE rank <= 3 ORDER BY p_brand, rank"
         ),
         "events_sliding": (
             # 3-hour window stepping hourly: an hour bucket h contributes

@@ -306,6 +306,61 @@ def top_parts_by_quantity(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     )
 
 
+def top_parts_per_brand(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-GROUP top-k (the windowed-ranking operator class: SQL
+    ``ROW_NUMBER() OVER (PARTITION BY brand ORDER BY price DESC, key)``):
+    for every brand, its k highest-priced parts with their rank.
+
+    Scale shape: an in-batch COMBINER keeps only each batch's local
+    per-brand top-k (a batch can never contribute more than k rows per
+    brand to the global answer), so the shuffle moves ≤ k × brands ×
+    blocks rows instead of the part table; ``map_groups`` then ranks the
+    surviving ≤ k × blocks rows per brand. Partitioning assumption: the
+    group count (brands) is bounded — for an unbounded key space the
+    combiner still holds, but the final stage's per-group dispatch cost
+    grows with distinct keys (see user_sessions for the partition-id
+    alternative). Ties broken by p_partkey ASC → fully deterministic."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["p_brand", "p_partkey", "p_retailprice"]
+        ).to_pandas()
+        df = df.sort_values(
+            ["p_brand", "p_retailprice", "p_partkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("p_brand", sort=False).head(k), preserve_index=False
+        )
+
+    def _rank(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["p_retailprice", "p_partkey"], ascending=[False, True]
+        ).head(k)
+        # pa.Table output: pandas frames unioned with arrow blocks trip
+        # Ray's inferred_block_type assertion at high CPU counts
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "p_partkey": pa.array(g["p_partkey"], pa.int64()),
+                "p_retailprice": pa.array(
+                    g["p_retailprice"], pa.float64()
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _rp(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("p_brand")
+        .map_groups(_rank, batch_format="pandas")
+        .sort(["p_brand", "rank"])
+    )
+
+
 def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """customer ⨝ nation ⨝ region via a composed broadcast lookup."""
     nation = _rp(sf_dir, "nation").to_pandas()
