@@ -79,6 +79,7 @@ def _q_extract_full(sf_dir: str):
 
 
 _GOLDEN_HASHES = "/root/repo/rika_ray/data/golden_content_hashes_sf0.01.parquet"
+_GOLDEN_LANG = "/root/repo/rika_ray/data/golden_lang_id_sf0.01.parquet"
 
 
 def _q_extract_content_hashes(sf_dir: str):
@@ -133,10 +134,56 @@ def _q_image_features(sf_dir: str):
     return image_feature_pipeline(ds, target_size=(16, 16)).sort("url")
 
 
+def _q_image_features_decoded(sf_dir: str):
+    """Channel means of the REAL-codec image decodes (PNG/BMP) vs
+    generator-computed ground truth in the golden table: pins the whole
+    zlib/unfilter → resize → feature path at the driver level. The
+    entropy-coded formats (stubbed decode) stay in the rows-only
+    ``image_features`` query."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import image_feature_pipeline
+
+    corpus = _corpus_path(sf_dir)
+    ds = read_web_pages(f"{corpus}/web_pages.parquet")
+
+    def _means(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["format"],
+            value_set=pa.array(["image/png", "image/bmp"], pa.string()),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        emb = batch["embedding"].combine_chunks()
+        # feature vector layout: [mean_r, mean_g, mean_b, hist...] —
+        # flat-buffer slices, no per-row as_py()
+        flat = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        starts = offs[:-1]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "format": batch["format"],
+                "mean_r": pa.array(flat[starts].astype("float64")),
+                "mean_g": pa.array(flat[starts + 1].astype("float64")),
+                "mean_b": pa.array(flat[starts + 2].astype("float64")),
+            }
+        )
+
+    return (
+        image_feature_pipeline(ds, target_size=(16, 16))
+        .map_batches(_means, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
 def _q_warc_media_tally(sf_dir: str):
     """Common-Crawl-native ingest: corpus pages round-tripped through a
     .warc.gz file (per-record gzip members, ISO 28500 framing) → read_warc
-    → extraction → media tally. Rows-only (parser semantics, not SQL)."""
+    → extraction → media tally, oracled against the golden table's
+    generator ground truth (rows with an empty payload never become WARC
+    records — the ``in_warc`` filter)."""
     import pyarrow.parquet as pq
 
     from rika_ray import docgen
@@ -181,9 +228,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- multimodal plumbing (rows-only: stubbed codec) ---
         "image_features": _q_image_features,
-        # --- extraction pipeline (rows-only: parser semantics, not SQL) ---
+        # --- real-codec decode vs generator ground truth (SQL-oracled) ---
+        "image_features_decoded": _q_image_features_decoded,
+        # --- extraction pipeline (rows-only: full nested output) ---
         "extract_full": _q_extract_full,
-        # --- extraction byte-identity vs checked-in goldens (SQL-oracled) ---
+        # --- extraction invariants vs checked-in goldens (SQL-oracled):
+        # byte-identity per url, sniffer-dispatch + error-taxonomy tallies,
+        # WARC round-trip tally ---
         "extract_content_hashes": _q_extract_content_hashes,
         "extract_media_tally": _q_extract_media_tally,
         "extract_error_tally": _q_extract_error_tally,
@@ -251,6 +302,37 @@ def oracle_sql() -> dict[str, str]:
         "extract_content_hashes": (
             f"SELECT url, content_md5 FROM read_parquet('{_GOLDEN_HASHES}') "
             "ORDER BY url, content_md5"
+        ),
+        # the tally oracles GROUP BY the golden table's generator-derived
+        # media_type / error_type ground truth; NULLS FIRST matches the
+        # engine's null-sentinel ("\x00<null>") sort position
+        "extract_media_tally": (
+            "SELECT media_type, COUNT(*) AS \"count()\" FROM "
+            f"read_parquet('{_GOLDEN_HASHES}') "
+            "GROUP BY media_type ORDER BY media_type NULLS FIRST"
+        ),
+        "extract_error_tally": (
+            "SELECT error_type, COUNT(*) AS \"count()\" FROM "
+            f"read_parquet('{_GOLDEN_HASHES}') "
+            "GROUP BY error_type ORDER BY error_type NULLS FIRST"
+        ),
+        "warc_media_tally": (
+            "SELECT media_type, COUNT(*) AS \"count()\" FROM "
+            f"read_parquet('{_GOLDEN_HASHES}') WHERE in_warc "
+            "GROUP BY media_type ORDER BY media_type NULLS FIRST"
+        ),
+        "image_features_decoded": (
+            "SELECT url, media_type AS format, "
+            "img_mean_r AS mean_r, img_mean_g AS mean_g, "
+            "img_mean_b AS mean_b "
+            f"FROM read_parquet('{_GOLDEN_HASHES}') "
+            "WHERE img_mean_r IS NOT NULL ORDER BY url"
+        ),
+        # detector-regression pin: the engine's frozen lang-ID output over
+        # the driver's documents table (tools/gen_golden_lang.py)
+        "lang_id": (
+            f"SELECT doc_id, language FROM read_parquet('{_GOLDEN_LANG}') "
+            "ORDER BY doc_id"
         ),
         "source_tally": (
             "SELECT source, COUNT(*) AS n FROM documents "

@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 24
+CORPUS_VERSION = 25
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -185,6 +185,7 @@ class _Builder:
         prior_text: str | None = None,
         claimed_lang: str | None = None,
         url: str | None = None,
+        img_means: tuple[float, float, float] | None = None,
     ) -> str:
         url = url or f"https://fixtures.test/{family}/{self._i:06d}"
         ts = BASE_TS + timedelta(seconds=self._i)
@@ -221,10 +222,29 @@ class _Builder:
                 "language": language,
                 "metadata": meta_pairs,
                 "error_type": error_type,
+                # analytically-known decoded-image features (real-codec
+                # formats only): channel means of the 16×16 nearest-neighbor
+                # resize, computed from the SOURCE pixel array the fixture
+                # was encoded from — the image_features oracle
+                "img_mean_r": None if img_means is None else img_means[0],
+                "img_mean_g": None if img_means is None else img_means[1],
+                "img_mean_b": None if img_means is None else img_means[2],
             }
         )
         self._i += 1
         return url
+
+
+def _image_golden_means(pixels) -> tuple[float, float, float]:
+    """Ground-truth channel means for a real-codec image fixture: the first
+    three entries of the engine's feature vector computed from the SOURCE
+    pixels (pre-encode), at the oracle query's fixed 16×16 target. The
+    encode→decode round trip is lossless for PNG/BMP, so a correct codec
+    reproduces these bit-exactly."""
+    from rika_ray.pipelines.multimodal import image_features, resize_nearest
+
+    f = image_features(resize_nearest(pixels, 16, 16))
+    return (float(f[0]), float(f[1]), float(f[2]))
 
 
 def generate_corpus(
@@ -1587,18 +1607,17 @@ def generate_corpus(
     )
     # real pixel data (deterministic gradient) with every PNG filter type
     # in play — the multimodal pipeline REALLY decodes these (codecs.py)
+    png_src = docgen.gradient_pixels(48, 64, seed=3)
     b.add(
         "png",
-        docgen.build_png_rgb(
-            docgen.gradient_pixels(48, 64, seed=3),
-            filters=[y % 5 for y in range(48)],
-        ),
+        docgen.build_png_rgb(png_src, filters=[y % 5 for y in range(48)]),
         content="",
         content_type="image/png",
         media_type="image/png",
         charset=None,
         language=None,
         extra_metadata={"Image Height": "48 pixels", "Image Width": "64 pixels"},
+        img_means=_image_golden_means(png_src),
     )
     b.add(
         "tiff",
@@ -1614,15 +1633,17 @@ def generate_corpus(
             "tiff:Make": "Acme",
         },
     )
+    bmp_src = docgen.gradient_pixels(30, 40, seed=9)
     b.add(
         "bmp",
-        docgen.build_bmp_rgb(docgen.gradient_pixels(30, 40, seed=9)),
+        docgen.build_bmp_rgb(bmp_src),
         content="",
         content_type="image/bmp",
         media_type="image/bmp",
         charset=None,
         language=None,
         extra_metadata={"Image Height": "30 pixels", "Image Width": "40 pixels"},
+        img_means=_image_golden_means(bmp_src),
     )
     b.add(
         "webp",
@@ -1647,6 +1668,44 @@ def generate_corpus(
         language=None,
         extra_metadata={"Image Height": "16 pixels", "Image Width": "32 pixels"},
     )
+
+    # --- png-grad / bmp-grad: scaled real-pixel variants whose decoded
+    # channel means are generator-computable ground truth — the corpus
+    # side of the image_features_decoded oracle (codec round-trip pinned
+    # at the driver level, not just in pytest)
+    for k in range(max(2, n_per_family)):
+        gh, gw = 8 + (k % 5) * 4, 12 + (k % 7) * 4
+        src = docgen.gradient_pixels(gh, gw, seed=100 + k)
+        b.add(
+            "png-grad",
+            docgen.build_png_rgb(src, filters=[(y + k) % 5 for y in range(gh)]),
+            content="",
+            content_type="image/png",
+            media_type="image/png",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{gh} pixels",
+                "Image Width": f"{gw} pixels",
+            },
+            img_means=_image_golden_means(src),
+        )
+        bh, bw = 6 + (k % 4) * 3, 10 + (k % 5) * 3
+        src = docgen.gradient_pixels(bh, bw, seed=200 + k)
+        b.add(
+            "bmp-grad",
+            docgen.build_bmp_rgb(src),
+            content="",
+            content_type="image/bmp",
+            media_type="image/bmp",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{bh} pixels",
+                "Image Width": f"{bw} pixels",
+            },
+            img_means=_image_golden_means(src),
+        )
 
     # --- csv / tsv: delimiter-consistency content sniff (Tika
     # TextAndCSVParser analogue); content passes through, table shape in

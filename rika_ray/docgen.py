@@ -1691,8 +1691,11 @@ def build_mp4(
     )
     tkhd = box(
         b"tkhd",
+        # spec v0 layout: 4 (version+flags) + 20 (times/track_ID/reserved/
+        # duration) + 8 (reserved) + 8 (layer/group/volume/reserved) + 36
+        # (matrix) + 8 (width/height) = 84-byte payload exactly
         b"\x00\x00\x00\x07"               # version 0 + enabled flags
-        + b"\x00" * 76                     # times/ids/matrix
+        + b"\x00" * 72                     # times/ids/layer/volume/matrix
         + struct.pack(">II", width << 16, height << 16),
     )
     moov = box(b"moov", mvhd + box(b"trak", tkhd))

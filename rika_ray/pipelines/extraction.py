@@ -289,7 +289,9 @@ def error_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """A1: per-error-type counts (drives job exit status, §2.8; reference
     accumulates bad_targets and exits 1 iff any,
     ``lib/rika/cli/rika_command.rb:94-123``)."""
-    return _tally_by(extracted.select_columns(["error_type"]), "error_type")
+    return _tally_by(
+        extracted.select_columns(["error_type"]), "error_type", sort=True
+    )
 
 
 def media_type_tally(extracted: ray.data.Dataset) -> ray.data.Dataset:

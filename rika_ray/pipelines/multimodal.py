@@ -196,6 +196,7 @@ class ImageFeatureStage:
         return pa.table(
             {
                 "url": batch["url"],
+                "format": batch["format"],
                 "embedding": pa.array(feats, pa.list_(pa.float32())),
                 "error": batch["error"],
             }

@@ -218,7 +218,13 @@ def extract_mp4(data: bytes) -> tuple[str, list, dict[str, str]]:
                     if ttype != b"tkhd":
                         continue
                     ver = data[tstart]
-                    off = tend - 8  # width/height are the LAST 8 bytes
+                    # spec offsets: width/height sit after version+flags,
+                    # times/track_ID/reserved/duration (v0: 20 B, v1: 32 B),
+                    # 8 B reserved, layer/group/volume/reserved (8 B) and
+                    # the 36-B matrix — i.e. payload offset 76 (v0) / 88 (v1)
+                    off = tstart + (88 if ver == 1 else 76)
+                    if off + 8 > tend:
+                        continue
                     w16, h16 = struct.unpack(">II", data[off : off + 8])
                     if w16 and h16:
                         metadata["tiff:ImageWidth"] = str(w16 >> 16)

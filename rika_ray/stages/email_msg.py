@@ -164,9 +164,10 @@ def split_mbox(data: bytes) -> list[bytes]:
             nxt = data.find(b"\nFrom ", nxt + 1)
         body_end = n if nxt == -1 else nxt + 1
         blob = data[body_start:body_end]
-        # drop the blank separator line(s) before the next postmark — they
-        # are mailbox framing, not message body
-        while blob.endswith(b"\n\n"):
+        # drop the ONE blank separator line before the next postmark — it
+        # is mailbox framing; any further trailing blank lines are genuine
+        # message body and must survive the round trip
+        if blob.endswith(b"\n\n"):
             blob = blob[:-1]
         messages.append(blob)
         pos = body_end

@@ -781,6 +781,31 @@ def test_mp4_box_walk_duration_and_dims():
     assert meta["mp4:major-brand"] == "isom"
 
 
+def test_mp4_tkhd_is_spec_sized_and_parsed_at_spec_offset():
+    """The v0 tkhd payload must be exactly 84 bytes (ISO 14496-12), and the
+    parser must read width/height at the fixed spec offset — not at
+    end-of-box — so a spec-conformant file from any producer parses."""
+    m = docgen.build_mp4(1.0, 320, 240)
+    i = m.find(b"tkhd")
+    size = int.from_bytes(m[i - 4 : i], "big")
+    assert size == 8 + 84  # header + v0 payload
+    c, *_r, meta = _stage()._route(m, sniff.MP4, 0)
+    assert meta["tiff:ImageWidth"] == "320"
+    assert meta["tiff:ImageLength"] == "240"
+
+
+def test_mbox_split_preserves_body_final_blank_lines():
+    """Only the ONE framing blank line is mailbox separator; a message
+    body that legitimately ends with blank lines must survive intact."""
+    from rika_ray.stages.email_msg import split_mbox
+
+    m1 = b"Subject: a\n\nbody one\n\n"  # body ends with a blank line
+    m2 = b"Subject: b\n\nbody two\n"
+    blob = docgen.build_mbox([m1, m2])
+    parts = split_mbox(blob)
+    assert parts == [m1, m2]
+
+
 def test_ico_directory_dimensions():
     i = docgen.build_ico(48, 48)
     assert sniff.sniff_bytes(i, i) == sniff.ICO

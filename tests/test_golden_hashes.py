@@ -28,11 +28,36 @@ def test_golden_hash_table_matches_current_corpus():
 
     fresh = golden_table()
     assert checked_in.num_rows == fresh.num_rows, STALE_MSG
-    assert checked_in.column("url").to_pylist() == fresh.column("url").to_pylist(), STALE_MSG
+    assert checked_in.schema.names == fresh.schema.names, STALE_MSG
+    for col in fresh.schema.names:
+        assert (
+            checked_in.column(col).to_pylist() == fresh.column(col).to_pylist()
+        ), f"{STALE_MSG} (column {col!r} differs)"
+
+
+def test_golden_lang_table_matches_current_detector():
+    """The lang_id golden is a detector-regression pin: recompute the full
+    table (500 docs, vectorized — cheap) and require equality, plus the
+    recorded input md5 to match the driver's documents table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_golden_lang import OUT as LANG_OUT
+    from gen_golden_lang import docs_md5, golden_table as lang_golden
+
+    checked_in = pq.read_table(LANG_OUT)
+    meta = checked_in.schema.metadata or {}
+    stale = (
+        "golden_lang_id_sf0.01.parquet is stale — regenerate with "
+        "`python tools/gen_golden_lang.py` and commit the result"
+    )
+    assert meta.get(b"docs_md5") == docs_md5().encode(), stale
+    fresh = lang_golden()
+    assert checked_in.column("doc_id").to_pylist() == fresh.column("doc_id").to_pylist(), stale
     assert (
-        checked_in.column("content_md5").to_pylist()
-        == fresh.column("content_md5").to_pylist()
-    ), STALE_MSG
+        checked_in.column("language").to_pylist()
+        == fresh.column("language").to_pylist()
+    ), stale
 
 
 def test_golden_hash_table_is_sorted_and_plausible():

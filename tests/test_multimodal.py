@@ -70,8 +70,9 @@ def test_image_pipeline_over_corpus(ray_session, corpus_dir):
 
     web_pages = ray.data.read_parquet(f"{corpus_dir}/web_pages.parquet")
     out = image_feature_pipeline(web_pages, target_size=(16, 16)).take_all()
-    # corpus: jpeg (x2 urls), jpeg-exif, png, gif, tiff, bmp, webp, psd, ico
-    assert len(out) == 10
+    # corpus: jpeg (x2 urls), jpeg-exif, png, gif, tiff, bmp, webp, psd,
+    # ico + the scaled png-grad/bmp-grad families (3 each at n_per_family=3)
+    assert len(out) == 16
     for r in out:
         assert r["error"] is None
         assert len(r["embedding"]) == 11

@@ -102,10 +102,18 @@ def test_query_runs_and_matches_oracle(ray_session, con, name):
 
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
-    if name == "extract_content_hashes":
-        # its oracle is the CHECKED-IN golden table for the sf0.01 tier
+    golden_tier = {
+        # these oracles are CHECKED-IN golden tables for the sf0.01 tier
         # (the tier the driver compares at) — validate against that tier
         # directly instead of the sf0.001 corpus this module uses
+        "extract_content_hashes",
+        "extract_media_tally",
+        "extract_error_tally",
+        "warc_media_tally",
+        "image_features_decoded",
+        "lang_id",
+    }
+    if name in golden_tier:
         ray_df = _to_df(q("/root/testdata/sf0.01"))
         sql_df = con.execute(oracles[name]).fetchdf()
         _compare(ray_df, sql_df, name)

@@ -1,11 +1,24 @@
-"""Regenerate the checked-in golden content-hash table for the
-``extract_content_hashes`` driver query.
+"""Regenerate the checked-in golden ground-truth table for the
+extraction-level driver oracles (``extract_content_hashes``,
+``extract_media_tally``, ``extract_error_tally``, ``warc_media_tally``,
+``image_features_decoded``).
 
-The table is (url, content_md5) derived from the corpus generator's
+Every column is derived from the corpus generator's
 ``expected_extractions`` ground truth at the sf0.01 tier — NOT from a
-pipeline run, so the oracle is independent of the code under test. Re-run
-this (and commit the result) whenever ``rika_ray.corpus.CORPUS_VERSION``
-changes; ``tests/test_golden_hashes.py`` fails loudly if the file is stale.
+pipeline run, so the oracles are independent of the code under test:
+
+- ``url`` / ``content_md5`` — byte-identity invariant per document;
+- ``media_type`` / ``error_type`` — sniffer-dispatch + error-taxonomy
+  ground truth (GROUP BY oracles for the tallies);
+- ``in_warc`` — whether the row survives the WARC round trip (rows with
+  an empty/absent payload never become WARC records);
+- ``img_mean_r/g/b`` — decoded-pixel channel means at the 16×16 resize
+  target, computed from the generator's SOURCE pixel arrays (real-codec
+  formats only; null elsewhere).
+
+Re-run this (and commit the result) whenever
+``rika_ray.corpus.CORPUS_VERSION`` changes; ``tests/test_golden_hashes.py``
+fails loudly if the file is stale.
 
 Usage: python tools/gen_golden_hashes.py
 """
@@ -35,7 +48,7 @@ OUT = os.path.join(
 
 
 def golden_table(n_per_family: int = SF001_N_PER_FAMILY) -> pa.Table:
-    _, expected = generate_corpus(n_per_family=n_per_family, seed=42)
+    pages, expected = generate_corpus(n_per_family=n_per_family, seed=42)
     urls = expected["url"].to_pylist()
     contents = expected["content"].to_pylist()
     # "" (not NULL) for error rows: the hash column is a SORT KEY in the
@@ -44,10 +57,19 @@ def golden_table(n_per_family: int = SF001_N_PER_FAMILY) -> pa.Table:
         hashlib.md5(c.encode("utf-8")).hexdigest() if c is not None else ""
         for c in contents
     ]
+    # pages and expected are built in lockstep — positional alignment is
+    # the only correct join (the dup-url family repeats a url)
+    in_warc = [bool(h) for h in pages["html"].to_pylist()]
     t = pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "content_md5": pa.array(hashes, pa.string()),
+            "media_type": expected["media_type"],
+            "error_type": expected["error_type"],
+            "in_warc": pa.array(in_warc, pa.bool_()),
+            "img_mean_r": expected["img_mean_r"],
+            "img_mean_g": expected["img_mean_g"],
+            "img_mean_b": expected["img_mean_b"],
         }
     )
     return t.sort_by([("url", "ascending"), ("content_md5", "ascending")])
