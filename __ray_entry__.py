@@ -293,6 +293,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOKENIZE_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
+# 3-word shingle set per doc, mirroring the engine's short-doc fallback
+# (rika_ray/pipelines/dedup.py: fewer than K tokens → the single shingle
+# " ".join(toks), empty text → ""): without the CASE, tok[i+2] indexes out
+# of range, the NULL shingle is stripped by list_distinct, and a short doc
+# silently gets NO signature row while the engine assigns one.
+_SHINGLES_SQL = (
+    "sh AS (SELECT doc_id, CASE WHEN len(tok) < 3 "
+    "THEN [array_to_string(tok, ' ')] "
+    "ELSE list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
+    "FOR i IN range(1, len(tok) - 1)]) END AS shingles FROM tok)"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -556,9 +568,7 @@ def oracle_sql() -> dict[str, str]:
             # the minhash_pair_set docstring)
             f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
             f"FROM documents), "
-            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
-            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
-            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"{_SHINGLES_SQL}, "
             f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
             f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
             f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "
@@ -579,9 +589,7 @@ def oracle_sql() -> dict[str, str]:
             # for hamming ≤ 3, so its set must equal this one exactly
             f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
             f"FROM documents), "
-            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
-            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
-            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"{_SHINGLES_SQL}, "
             f"ex AS (SELECT doc_id, md5_number_lower(unnest(shingles)) "
             f"AS h FROM sh), "
             f"bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 "
@@ -602,9 +610,7 @@ def oracle_sql() -> dict[str, str]:
             # cluster_id = smallest doc_id reachable through pair edges
             f"WITH RECURSIVE tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
             f"FROM documents), "
-            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
-            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
-            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"{_SHINGLES_SQL}, "
             f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
             f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
             f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "
@@ -630,9 +636,7 @@ def oracle_sql() -> dict[str, str]:
             # divisions, bit-identical across engines
             f"WITH tok AS (SELECT doc_id, {_TOKENIZE_SQL} AS tok "
             f"FROM documents), "
-            f"sh AS (SELECT doc_id, list_distinct([tok[i] || ' ' || "
-            f"tok[i+1] || ' ' || tok[i+2] FOR i IN "
-            f"range(1, greatest(len(tok)-1, 2))]) AS shingles FROM tok), "
+            f"{_SHINGLES_SQL}, "
             f"ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
             f"sizes AS (SELECT doc_id, len(shingles) AS n FROM sh), "
             f"inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) "

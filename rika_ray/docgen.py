@@ -1309,6 +1309,78 @@ def build_7z(
     return sig + body + header
 
 
+def build_7z_mixed_folders(
+    chain_name: str, entries: list[tuple[str, bytes]]
+) -> bytes:
+    """A 7z archive whose FIRST folder is a two-coder BCJ+LZMA1 chain
+    (7-Zip's default for executables — unsupported by the reader, so its
+    member must surface as ``None``) followed by a Copy folder holding
+    ``entries`` (which must still decode). Exercises the per-out-stream
+    kCodersUnpackSize layout: the chain folder carries TWO unpack sizes,
+    one per coder out stream, with a bind pair marking the LZMA output
+    as consumed."""
+    import zlib as _zlib
+
+    chain_packed = b"\xde\xad\xbe\xef" * 8  # never decoded
+    chain_size = 64
+    copy_payload = b"".join(d for _, d in entries)
+
+    header = bytearray()
+    header += _7z_num(0x01)  # kHeader
+    header += _7z_num(0x04)  # kMainStreamsInfo
+    header += _7z_num(0x06)  # kPackInfo
+    header += _7z_num(0) + _7z_num(2)  # pack_pos, two packed streams
+    header += _7z_num(0x09)  # kSize
+    header += _7z_num(len(chain_packed)) + _7z_num(len(copy_payload))
+    header += _7z_num(0x00)  # kEnd (PackInfo)
+    header += _7z_num(0x07)  # kUnpackInfo
+    header += _7z_num(0x0B) + _7z_num(2) + b"\x00"  # kFolder, 2, internal
+    # folder 1: coder 0 = LZMA1 (props), coder 1 = BCJ x86; bind pair
+    # (InIndex=1, OutIndex=0) feeds LZMA's output into BCJ's input
+    header += _7z_num(2)
+    header += bytes([3 | 0x20]) + b"\x03\x01\x01"  # LZMA1 + props flag
+    header += _7z_num(5) + b"\x5d\x00\x00\x01\x00"
+    header += bytes([4]) + b"\x03\x03\x01\x03"  # BCJ x86, simple
+    header += _7z_num(1) + _7z_num(0)  # bind pair in=1, out=0
+    # folder 2: single Copy coder
+    header += _7z_num(1) + bytes([1]) + b"\x00"
+    header += _7z_num(0x0C)  # kCodersUnpackSize: per coder OUT stream
+    header += _7z_num(chain_size)  # folder 1, LZMA out (bound)
+    header += _7z_num(chain_size)  # folder 1, BCJ out (main)
+    header += _7z_num(len(copy_payload))  # folder 2, Copy out
+    header += _7z_num(0x00)  # kEnd (UnpackInfo)
+    if len(entries) != 1:
+        # per-folder substreams: 1 for the chain folder, N for the Copy one
+        header += _7z_num(0x08)  # kSubStreamsInfo
+        header += _7z_num(0x0D) + _7z_num(1) + _7z_num(len(entries))
+        header += _7z_num(0x09)
+        for _, d in entries[:-1]:
+            header += _7z_num(len(d))
+        header += _7z_num(0x00)  # kEnd (SubStreamsInfo)
+    header += _7z_num(0x00)  # kEnd (StreamsInfo)
+    names_list = [chain_name] + [n for n, _ in entries]
+    header += _7z_num(0x05)  # kFilesInfo
+    header += _7z_num(len(names_list))
+    names = b"\x00" + b"".join(
+        n.encode("utf-16-le") + b"\x00\x00" for n in names_list
+    )
+    header += _7z_num(0x11) + _7z_num(len(names)) + names  # kName
+    header += _7z_num(0x00)  # kEnd (FilesInfo)
+    header += _7z_num(0x00)  # kEnd (Header)
+    header = bytes(header)
+
+    body = chain_packed + copy_payload
+    start_fields = (
+        len(body).to_bytes(8, "little") + len(header).to_bytes(8, "little")
+        + _zlib.crc32(header).to_bytes(4, "little")
+    )
+    sig = (
+        b"7z\xbc\xaf\x27\x1c" + bytes([0, 4])
+        + _zlib.crc32(start_fields).to_bytes(4, "little") + start_fields
+    )
+    return sig + body + header
+
+
 def build_rar4(entries: list[tuple[str, bytes]], fake_compressed: bool = False) -> bytes:
     """A deterministic RAR4 archive with STORED members (method 0x30 — the
     only method an original implementation can honor; the RAR compression

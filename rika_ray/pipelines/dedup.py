@@ -280,24 +280,6 @@ def _join_parts(*counts: int) -> int:
     return max(1, min(max(4, cluster_cpus()), (n + 4095) // 4096))
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """One hot LSH bucket → its (doc_a < doc_b) candidate pairs. Runs
-    inside ``groupby(band, band_hash).map_groups`` over HOT buckets only,
-    so per-group pandas overhead is collision-bounded, and each group is
-    individually small (a dup cluster) even when the union of all hot
-    buckets is corpus-proportional."""
-    ids = np.unique(group["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-            }
-        )
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
-
-
 def minhash_lsh_pairs(
     sf_dir: str,
     threshold: float = 0.5,

@@ -127,7 +127,8 @@ class _Reader:
 
 class _Folder:
     __slots__ = ("codec_id", "props", "unpack_size", "num_substreams",
-                 "substream_sizes", "supported", "crc_defined")
+                 "substream_sizes", "supported", "crc_defined",
+                 "num_out_streams", "main_out_index")
 
     def __init__(self) -> None:
         self.codec_id = b""
@@ -137,6 +138,11 @@ class _Folder:
         self.substream_sizes: list[int] = []
         self.supported = True
         self.crc_defined = False
+        # kCodersUnpackSize stores ONE size per coder OUT stream, so even
+        # unsupported multi-coder folders (BCJ+LZMA chains) must know their
+        # out-stream count to keep the header reader in sync
+        self.num_out_streams = 1
+        self.main_out_index = 0
 
 
 def _parse_folder(r: _Reader) -> _Folder:
@@ -162,9 +168,15 @@ def _parse_folder(r: _Reader) -> _Folder:
     # chains, split streams) is parsed past but marked undecodable
     if num_coders != 1 or total_in != 1 or total_out != 1:
         f.supported = False
-    for _ in range(total_out - 1):  # bind pairs
+    f.num_out_streams = total_out
+    bound_out: set[int] = set()
+    for _ in range(total_out - 1):  # bind pairs: (in_index, out_index)
         r.number()
-        r.number()
+        bound_out.add(r.number())
+    # the folder's output is the one out-stream no bind pair consumes
+    f.main_out_index = next(
+        (i for i in range(total_out) if i not in bound_out), 0
+    )
     num_packed = total_in - (total_out - 1)
     if num_packed != 1:
         f.supported = False
@@ -251,8 +263,12 @@ def _parse_streams_info(r: _Reader) -> _StreamsInfo:
             if r.number() != K_CODERS_UNPACK_SIZE:
                 raise ArchiveParseError("7z: missing kCodersUnpackSize")
             for f in si.folders:
-                # one size per coder OUT stream; supported folders have one
-                f.unpack_size = r.number()
+                # one size per coder OUT stream; the folder's unpack size
+                # is the main (unbound) out-stream's — reading only one
+                # number for a multi-coder folder would desync the reader
+                # and fail the whole archive, not just that folder
+                sizes = [r.number() for _ in range(f.num_out_streams)]
+                f.unpack_size = sizes[f.main_out_index]
             while True:
                 p2 = r.number()
                 if p2 == K_END:

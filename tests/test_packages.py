@@ -59,6 +59,23 @@ def test_7z_through_extraction_pipeline():
     assert meta["rika:entry-count"] == "2"
 
 
+@pytest.mark.parametrize("n_copy_members", [1, 2])
+def test_7z_multicoder_folder_skips_without_desync(n_copy_members):
+    """A BCJ+LZMA coder-chain folder (7-Zip's default for executables)
+    carries one kCodersUnpackSize entry PER CODER OUT STREAM; the header
+    reader must consume both and keep parsing, so the chain member skips
+    to None while the sibling Copy folder still decodes (round-4 advice:
+    one-number-per-folder desynced and failed the whole archive)."""
+    entries = [("a.txt", b"copy folder text payload\n")]
+    if n_copy_members == 2:
+        entries.append(("b.txt", b"second member body"))
+    blob = docgen.build_7z_mixed_folders("prog.exe", entries)
+    got = {n: m for n, m, _ in iter_7z_entries(blob)}
+    assert got["prog.exe"] is None  # unsupported chain, skipped cleanly
+    for name, data in entries:
+        assert got[name] == data
+
+
 def test_7z_corrupt_raises_archive_error():
     blob = docgen.build_7z(ENTRIES, codec="lzma2")
     with pytest.raises(ArchiveParseError):
