@@ -281,7 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dedup.neardup_clusters,
         "verify_jaccard_pairs": dedup.verify_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        # oracle_features: MD5 feature hashes so the DuckDB oracle can
+        # recompute the exact signatures; production default is the
+        # vectorized feature hash (same pair geometry, planted-test-pinned)
+        "simhash_neardup_pairs": lambda sf_dir: dedup.simhash_neardup_pairs(
+            sf_dir, oracle_features=True
+        ),
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_exact": dedup.embedding_neardup_exact,
         # --- similarity search ---

@@ -334,27 +334,38 @@ def test_popcount64_matches_python():
     assert (got == exp).all()
 
 
-def test_simhash_neardup_pairs_planted(ray_session, planted_dir):
+@pytest.mark.parametrize("oracle_features", [False, True])
+def test_simhash_neardup_pairs_planted(
+    ray_session, planted_dir, oracle_features
+):
     """Banding must return exactly the brute-force hamming-≤-3 set over
-    the md5-shingle signatures (pigeonhole completeness), and the planted
-    exact dup (hamming 0) must be in it."""
+    the signatures (pigeonhole completeness), and the planted exact dup
+    (hamming 0) must be in it — in BOTH feature-hash modes: the MD5
+    oracle path and the vectorized production path must have the same
+    near-dup geometry."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from rika_ray.pipelines.dedup import (
         _md5_shingle_simhash64,
         _popcount64,
+        shingle_simhash64_batch,
         simhash_neardup_pairs,
     )
 
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_neardup_pairs(planted_dir).take_all()
+        for r in simhash_neardup_pairs(
+            planted_dir, oracle_features=oracle_features
+        ).take_all()
     }
     assert got[(2, 21)] == 0  # exact dup: identical signature
     t = pq.read_table(planted_dir + "/documents.parquet")
     ids = t["doc_id"].to_pylist()
-    sims = _md5_shingle_simhash64(t["text"].to_pylist())
+    sig_fn = (
+        _md5_shingle_simhash64 if oracle_features else shingle_simhash64_batch
+    )
+    sims = sig_fn(t["text"].to_pylist())
     exp = {}
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
