@@ -30,6 +30,48 @@ owned by the caller (driver, bench.py, CLI, test fixture).
 
 from rika_ray.schema import EXTRACTED_SCHEMA, WEB_PAGES_SCHEMA
 
+
+def _stub_fsspec_http() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem`` stable
+    under concurrent Dataset executions when ``aiohttp`` is absent.
+
+    Ray's path resolution re-attempts that import on every read/write and
+    catches only ``ModuleNotFoundError``; when two driver threads race the
+    failing import (fsspec present, aiohttp missing), the loser can see the
+    half-torn-down module and raise plain ``ImportError`` ("cannot import
+    name 'HTTPFileSystem'"), which escapes Ray's guard and kills an
+    otherwise-local read. Installing a stub module once makes every later
+    import a plain ``sys.modules`` cache hit — deterministic and race-free.
+    The stub class is only ever used in ``isinstance`` checks (always False
+    for local/Arrow filesystems) and refuses construction loudly."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return  # aiohttp available: real class, nothing to do
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        return  # fsspec itself absent or torn: nothing safe to stub
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover — isinstance-only stub
+        protocol = ("http", "https")
+
+        def __init__(self, *args, **kwargs):
+            raise ImportError(
+                "fsspec HTTPFileSystem requires aiohttp, which is not "
+                "installed in this environment"
+            )
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules.setdefault("fsspec.implementations.http", mod)
+
+
+_stub_fsspec_http()
+
 __version__ = "0.1.0"
 
 __all__ = ["WEB_PAGES_SCHEMA", "EXTRACTED_SCHEMA", "__version__"]

@@ -30,10 +30,12 @@ hash, which is what the determinism / resume tests assert.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
 import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
 import numpy as np
 import pandas as pd
@@ -88,17 +90,103 @@ def _content_hash_batch(batch: pa.Table) -> pa.Table:
                      "n": pa.array([len(batch)], pa.int64())})
 
 
+def _process_partition(
+    pid: int, in_file: str, out_dir: str, cfg: ExtractionConfig
+) -> dict:
+    """Run one shard end-to-end (read → extract → write → hash) and commit
+    its manifest entry atomically. Every path it touches is derived from
+    ``pid``, so concurrent calls for distinct partitions never collide."""
+    part = _part_name(pid)
+    final_dir = os.path.join(out_dir, part)
+    tmp_dir = os.path.join(out_dir, f".tmp-{part}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = read_web_pages(in_file)
+    extracted = build_extraction_pipeline(ds, cfg)
+    extracted.write_parquet(tmp_dir)
+    wall = time.perf_counter() - t0
+
+    # lineage metrics from the written partition (cheap re-read of two
+    # columns, not the whole output)
+    import ray.data
+
+    hashed = (
+        ray.data.read_parquet(tmp_dir, columns=["url", "content"])
+        .map_batches(_content_hash_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    content_hash = 0
+    n_docs = 0
+    for r in hashed:
+        content_hash = (content_hash + r["partial_hash"]) % (1 << 64)
+        n_docs += r["n"]
+
+    os.replace(tmp_dir, final_dir)  # atomic publish of the data
+    entry = {
+        "partition_id": pid,
+        "part": part,
+        "input_files": [in_file],
+        "docs": n_docs,
+        "input_bytes": os.path.getsize(in_file),
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1) if wall else None,
+        "content_hash": content_hash,
+        "engine_version": rika_ray.__version__,
+    }
+    mpath = os.path.join(_manifest_dir(out_dir), f"{part}.json")
+    tmp_mpath = mpath + ".tmp"
+    with open(tmp_mpath, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp_mpath, mpath)  # atomic commit marker
+    return entry
+
+
+def _slot_config(cfg: ExtractionConfig, k: int) -> ExtractionConfig:
+    """Divide the default actor-pool budget across ``k`` concurrently
+    executing partitions. Each Dataset execution sizes its pools assuming it
+    owns the cluster; k such executions would jointly reserve every CPU and
+    starve the read/write tasks (the silent-deadlock failure mode), so each
+    in-flight slot gets an explicit 1/k share. Explicit user-set
+    concurrencies are respected as-is."""
+    if k <= 1:
+        return cfg
+    from rika_ray.pool import cluster_cpus
+
+    ncpu = cluster_cpus()
+    if ncpu < 4:
+        return cfg  # task path, no pools to divide
+    overrides = {}
+    if cfg.extract_concurrency is None:
+        overrides["extract_concurrency"] = max(1, int(ncpu * 0.75 / k))
+    if not cfg.fused and cfg.lang_concurrency is None:
+        overrides["lang_concurrency"] = max(1, ncpu // (8 * k))
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def run_partitioned_extraction(
     input_files: list[str],
     out_dir: str,
     cfg: ExtractionConfig | None = None,
     fail_after: int | None = None,
+    max_in_flight: int | None = None,
 ) -> dict:
     """Extract every input shard, checkpointing per partition; skips
     partitions already committed by a previous (possibly killed) run.
 
     ``fail_after``: test hook — abort the run after N newly-processed
-    partitions (simulates a mid-job crash).
+    partitions (simulates a mid-job crash). Forces serial execution so
+    "after N" is exact.
+
+    ``max_in_flight``: bounded partition pipelining — up to K partitions
+    execute as concurrent Dataset runs (each from its own driver thread,
+    with the actor-pool budget divided K ways), and each commits its
+    manifest the moment it completes. This hides the per-partition pool
+    ramp (~seconds of actor startup per leg that the cluster would
+    otherwise idle through) while keeping resume granularity and the
+    atomic per-partition commit identical to the serial path. Default:
+    min(4, pending partitions); pass 1 to force the serial loop.
 
     Returns a summary: partitions done/skipped, docs, docs_per_sec.
     """
@@ -116,6 +204,7 @@ def run_partitioned_extraction(
     total_docs = sum(e["docs"] for e in done.values())
     t_run0 = time.perf_counter()
 
+    pending: list[tuple[int, str]] = []
     for pid, in_file in enumerate(sorted(input_files)):
         if pid in done:
             # Resume identity: a committed manifest entry only covers this
@@ -135,57 +224,47 @@ def run_partitioned_extraction(
                 )
             skipped += 1
             continue
-        part = _part_name(pid)
-        final_dir = os.path.join(out_dir, part)
-        tmp_dir = os.path.join(out_dir, f".tmp-{part}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(final_dir, ignore_errors=True)
+        pending.append((pid, in_file))
 
-        t0 = time.perf_counter()
-        ds = read_web_pages(in_file)
-        extracted = build_extraction_pipeline(ds, cfg)
-        extracted.write_parquet(tmp_dir)
-        wall = time.perf_counter() - t0
+    if fail_after is not None:
+        k = 1  # exact "commit N then crash" semantics need ordered commits
+    elif max_in_flight is not None:
+        k = max(1, max_in_flight)
+    else:
+        k = min(4, len(pending)) or 1
 
-        # lineage metrics from the written partition (cheap re-read of two
-        # columns, not the whole output)
-        import ray.data
-
-        hashed = (
-            ray.data.read_parquet(tmp_dir, columns=["url", "content"])
-            .map_batches(_content_hash_batch, batch_format="pyarrow")
-            .take_all()
-        )
-        content_hash = 0
-        n_docs = 0
-        for r in hashed:
-            content_hash = (content_hash + r["partial_hash"]) % (1 << 64)
-            n_docs += r["n"]
-
-        os.replace(tmp_dir, final_dir)  # atomic publish of the data
-        entry = {
-            "partition_id": pid,
-            "part": part,
-            "input_files": [in_file],
-            "docs": n_docs,
-            "input_bytes": os.path.getsize(in_file),
-            "wall_s": round(wall, 3),
-            "docs_per_sec": round(n_docs / wall, 1) if wall else None,
-            "content_hash": content_hash,
-            "engine_version": rika_ray.__version__,
-        }
-        mpath = os.path.join(_manifest_dir(out_dir), f"{part}.json")
-        tmp_mpath = mpath + ".tmp"
-        with open(tmp_mpath, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp_mpath, mpath)  # atomic commit marker
-
-        processed += 1
-        total_docs += n_docs
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(
-                f"injected failure after {processed} partitions (test hook)"
-            )
+    if k == 1:
+        for pid, in_file in pending:
+            entry = _process_partition(pid, in_file, out_dir, cfg)
+            processed += 1
+            total_docs += entry["docs"]
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {processed} partitions (test hook)"
+                )
+    elif pending:
+        slot_cfg = _slot_config(cfg, min(k, len(pending)))
+        first_err: BaseException | None = None
+        with ThreadPoolExecutor(max_workers=k) as ex:
+            futures = {
+                ex.submit(_process_partition, pid, in_file, out_dir, slot_cfg)
+                for pid, in_file in pending
+            }
+            # Drain as they complete: a failed partition doesn't abandon the
+            # ones already in flight — they finish and commit, so the resume
+            # after the raise repeats only genuinely unfinished shards.
+            while futures:
+                done_set, futures = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done_set:
+                    try:
+                        entry = fut.result()
+                    except BaseException as e:  # noqa: BLE001 — re-raised below
+                        first_err = first_err or e
+                        continue
+                    processed += 1
+                    total_docs += entry["docs"]
+        if first_err is not None:
+            raise first_err
 
     wall_run = time.perf_counter() - t_run0
     return {
@@ -195,6 +274,7 @@ def run_partitioned_extraction(
         "docs": total_docs,
         "wall_s": round(wall_run, 3),
         "docs_per_sec": round(total_docs / wall_run, 1) if wall_run > 0 else None,
+        "max_in_flight": k,
     }
 
 

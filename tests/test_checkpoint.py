@@ -63,6 +63,24 @@ def test_crash_resume_equals_single_run(ray_session, sharded_input, tmp_path):
         assert a and b
 
 
+def test_pipelined_equals_serial(ray_session, sharded_input, tmp_path):
+    """Bounded K-in-flight partition pipelining (VERDICT r4 #4): same
+    committed outputs and whole-run content identity as the serial loop,
+    and a pipelined run resumes as a noop."""
+    out_s = str(tmp_path / "serial")
+    s1 = run_partitioned_extraction(sharded_input, out_s, max_in_flight=1)
+    assert s1["max_in_flight"] == 1 and s1["processed"] == 3
+
+    out_p = str(tmp_path / "pipelined")
+    s2 = run_partitioned_extraction(sharded_input, out_p, max_in_flight=3)
+    assert s2["max_in_flight"] == 3 and s2["processed"] == 3
+    assert len(completed_partitions(out_p)) == 3
+    assert combined_content_hash(out_p) == combined_content_hash(out_s)
+
+    s3 = run_partitioned_extraction(sharded_input, out_p)
+    assert s3["skipped"] == 3 and s3["processed"] == 0
+
+
 def test_manifest_lineage_fields(ray_session, sharded_input, tmp_path):
     out = str(tmp_path / "lineage")
     run_partitioned_extraction(sharded_input, out)
