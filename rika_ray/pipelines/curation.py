@@ -41,7 +41,9 @@ def curated_docs(
 ) -> ray.data.Dataset:
     from rika_ray.pipelines.relational import _session_parts
 
-    docs = ray.data.read_parquet(
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
 

@@ -41,11 +41,14 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min
 
 from rika_ray.functions.text import tokenize
+from rika_ray.functions.vectors import embedding_matrix, unit_rows
 from rika_ray.pool import pool_spec
 
 
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _schema_stable(
@@ -942,7 +945,9 @@ def embedding_neardup_pairs(
     can never revert a ``map_groups`` group to O(B²)/OOM. The scale
     path — recall < 1 by design for borderline pairs; the exact baseline
     below is the oracle-checked ground truth."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
     planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
     import ray as _ray
@@ -953,14 +958,14 @@ def embedding_neardup_pairs(
         def __init__(self):
             self.planes = _ray.get(planes_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy())
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = embedding_matrix(batch["embedding"])
             signs = (vecs @ self.planes) > 0
-            bucket = signs @ (1 << np.arange(signs.shape[1]))
-            return pd.DataFrame(
+            bucket = (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+            return pa.table(
                 {
                     "vec_id": batch["vec_id"],
-                    "bucket": bucket.astype("int64"),
+                    "bucket": pa.array(bucket, pa.int64()),
                     "embedding": batch["embedding"],
                 }
             )
@@ -985,7 +990,7 @@ def embedding_neardup_pairs(
     pairs = (
         emb.map_batches(
             BucketStage,
-            batch_format="pandas",
+            batch_format="pyarrow",
             batch_size=1024,
             concurrency=pool_spec(),
             num_cpus=0.5,
@@ -1020,37 +1025,35 @@ def embedding_neardup_exact(
     a wide margin of the data)."""
     import ray as _ray
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     n_vecs = emb.count()
     if n_vecs > 1_000_000:
         raise ValueError(
             f"embedding_neardup_exact is the O(n²) oracle baseline; "
             f"{n_vecs} vectors needs the LSH path (embedding_neardup_pairs)"
         )
-    all_rows = emb.to_pandas()
-    mat = np.stack(all_rows["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ids_all = all_rows["vec_id"].to_numpy().astype(np.int64)
+    all_tbl = pa.concat_tables(_ray.get(emb.to_arrow_refs()))
+    mat = unit_rows(embedding_matrix(all_tbl["embedding"]))
+    ids_all = all_tbl["vec_id"].to_numpy().astype(np.int64)
     mat_ref = _ray.put((ids_all, mat))
 
     class ExactPairs:
         def __init__(self):
             self.ids_all, self.mat = _ray.get(mat_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            vecs /= np.maximum(
-                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-            )
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = unit_rows(embedding_matrix(batch["embedding"]))
             sim = vecs @ self.mat.T  # (batch, n)
             ids_b = batch["vec_id"].to_numpy().astype(np.int64)
             ii, jj = np.where(
                 (sim >= threshold) & (ids_b[:, None] < self.ids_all[None, :])
             )
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "vec_a": ids_b[ii],
-                    "vec_b": self.ids_all[jj],
+                    "vec_a": pa.array(ids_b[ii], pa.int64()),
+                    "vec_b": pa.array(self.ids_all[jj], pa.int64()),
                 }
             )
 
@@ -1064,7 +1067,7 @@ def embedding_neardup_exact(
     )
     pairs = emb.map_batches(
         ExactPairs,
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=2048,
         concurrency=pool_spec(),
         num_cpus=0.5,

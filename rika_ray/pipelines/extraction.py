@@ -112,10 +112,10 @@ def read_web_pages(path: str, **kwargs) -> ray.data.Dataset:
     """Source S1: the web_pages Parquet table, pruned at the read to the
     columns the extraction pipeline consumes. Pass ``columns=None`` to
     read everything, or a list to prune differently."""
+    from rika_ray.sources.parquet import read_parquet_clean
+
     kwargs.setdefault("columns", list(EXTRACTION_INPUT_COLUMNS))
-    if kwargs["columns"] is None:
-        kwargs.pop("columns")
-    return ray.data.read_parquet(path, **kwargs)
+    return read_parquet_clean(path, **kwargs)
 
 
 def build_extraction_pipeline(

@@ -24,11 +24,35 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rika_ray.functions.vectors import embedding_matrix, unit_rows
 from rika_ray.pool import pool_spec
+
+# Every candidate stage emits this exact schema (even for an empty batch):
+# per-batch schema inference over Python-object frames is what produced
+# Ray's "Failed to hash the schemas" dedup warning and unstable unions.
+_SIM_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+)
+
+
+def _candidate_table(chunks: list[tuple[int, np.ndarray, np.ndarray]]) -> pa.Table:
+    """Per-query (qid, ids, sims) chunks → one stable-schema Arrow table."""
+    if not chunks:
+        return _SIM_SCHEMA.empty_table()
+    q = np.concatenate(
+        [np.full(len(ids), qid, np.int64) for qid, ids, _ in chunks]
+    )
+    v = np.concatenate([ids.astype(np.int64) for _, ids, _ in chunks])
+    s = np.concatenate([sims.astype(np.float64) for _, _, sims in chunks])
+    return pa.table(
+        {"query_id": q, "vec_id": v, "sim": s}, schema=_SIM_SCHEMA
+    )
 
 
 def _embeddings(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
@@ -55,23 +79,19 @@ def ann_topk_bruteforce(
         def __init__(self):
             self.q = ray.get(q_ref)  # (n_q, dim), unit-normalized
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            unit = vecs / np.maximum(
-                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-            )
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            unit = unit_rows(embedding_matrix(batch["embedding"]))
             sims = unit @ self.q.T  # (n, n_q)
             ids = batch["vec_id"].to_numpy()
-            out = []
+            chunks = []
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
                 top = np.argsort(-col, kind="stable")[:k]
-                for t in top:
-                    out.append((qid, int(ids[t]), float(col[t])))
-            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+                chunks.append((qid, ids[top], col[top]))
+            return _candidate_table(chunks)
 
     candidates = _embeddings(sf_dir).map_batches(
-        LocalTopK, batch_format="pandas", batch_size=4096,
+        LocalTopK, batch_format="pyarrow", batch_size=4096,
         concurrency=pool_spec(), num_cpus=0.5
     )
 
@@ -131,11 +151,9 @@ def ann_topk_lsh(
             self.q, self.planes, self.probes = ray.get(q_ref)
             self.powers = 1 << np.arange(self.planes.shape[2])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            unit = vecs / np.maximum(
-                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-            )
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = embedding_matrix(batch["embedding"])
+            unit = unit_rows(vecs)
             n_tab = self.planes.shape[0]
             buckets = np.stack(
                 [
@@ -144,7 +162,7 @@ def ann_topk_lsh(
                 ]
             )  # (n_tables, n)
             ids = batch["vec_id"].to_numpy()
-            out = []
+            chunks = []
             for qi, qid in enumerate(qids):
                 mask = np.zeros(len(ids), dtype=bool)
                 for t in range(n_tab):
@@ -156,12 +174,11 @@ def ann_topk_lsh(
                 sims = unit[mask] @ self.q[qi]
                 sub_ids = ids[mask]
                 top = np.argsort(-sims, kind="stable")[:k]
-                for t in top:
-                    out.append((qid, int(sub_ids[t]), float(sims[t])))
-            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+                chunks.append((qid, sub_ids[top], sims[top]))
+            return _candidate_table(chunks)
 
     candidates = _embeddings(sf_dir).map_batches(
-        BucketTopK, batch_format="pandas", batch_size=4096,
+        BucketTopK, batch_format="pyarrow", batch_size=4096,
         concurrency=pool_spec(), num_cpus=0.5
     )
 
@@ -282,14 +299,11 @@ def ann_topk_ivf(
         def __init__(self):
             self.q, self.cent, self.probe = ray.get(q_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            unit = vecs / np.maximum(
-                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-            )
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            unit = unit_rows(embedding_matrix(batch["embedding"]))
             cells = np.argmax(unit @ self.cent.T, axis=1)
             ids = batch["vec_id"].to_numpy()
-            out = []
+            chunks = []
             for qi, qid in enumerate(qids):
                 mask = np.isin(cells, self.probe[qi])
                 if not mask.any():
@@ -297,12 +311,11 @@ def ann_topk_ivf(
                 sims = unit[mask] @ self.q[qi]
                 sub_ids = ids[mask]
                 top = np.argsort(-sims, kind="stable")[:k]
-                for t in top:
-                    out.append((qid, int(sub_ids[t]), float(sims[t])))
-            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+                chunks.append((qid, sub_ids[top], sims[top]))
+            return _candidate_table(chunks)
 
     candidates = _embeddings(sf_dir).map_batches(
-        CellTopK, batch_format="pandas", batch_size=4096,
+        CellTopK, batch_format="pyarrow", batch_size=4096,
         concurrency=pool_spec(), num_cpus=0.5
     )
 

@@ -23,7 +23,9 @@ from rika_ray.pool import pool_spec
 
 
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from rika_ray.sources.parquet import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_token_counts(sf_dir: str) -> ray.data.Dataset:
