@@ -135,11 +135,11 @@ def _q_image_features(sf_dir: str):
 
 
 def _q_image_features_decoded(sf_dir: str):
-    """Channel means of the REAL-codec image decodes (PNG/BMP) vs
-    generator-computed ground truth in the golden table: pins the whole
-    zlib/unfilter → resize → feature path at the driver level. The
-    entropy-coded formats (stubbed decode) stay in the rows-only
-    ``image_features`` query."""
+    """Channel means of the REAL-codec image decodes (PNG/BMP/GIF/TIFF/
+    JPEG) vs generator-computed ground truth in the golden table: pins
+    the whole decode → resize → feature path at the driver level. Only
+    the formats without a pure-Python decoder (WebP/PSD/ICO, fake
+    pixels) stay in the rows-only ``image_features`` query."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -152,7 +152,16 @@ def _q_image_features_decoded(sf_dir: str):
     def _means(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(
             batch["format"],
-            value_set=pa.array(["image/png", "image/bmp"], pa.string()),
+            value_set=pa.array(
+                [
+                    "image/png",
+                    "image/bmp",
+                    "image/gif",
+                    "image/tiff",
+                    "image/jpeg",
+                ],
+                pa.string(),
+            ),
         )
         batch = batch.filter(pc.fill_null(keep, False))
         emb = batch["embedding"].combine_chunks()

@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 25
+CORPUS_VERSION = 26
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -244,6 +244,20 @@ def _image_golden_means(pixels) -> tuple[float, float, float]:
     from rika_ray.pipelines.multimodal import image_features, resize_nearest
 
     f = image_features(resize_nearest(pixels, 16, 16))
+    return (float(f[0]), float(f[1]), float(f[2]))
+
+
+def _image_golden_means_jpeg(payload: bytes) -> tuple[float, float, float]:
+    """Ground-truth channel means for a JPEG fixture. JPEG is lossy, so
+    the truth is defined over the decoded bytes, not the source pixels:
+    the generator decodes its own encoded payload with the engine codec.
+    This pins the whole Ray-side pipeline (decode → resize → features)
+    at the driver level; the codec itself is pinned independently by the
+    pytest tolerance/round-trip suite (tests/test_codecs.py)."""
+    from rika_ray.pipelines.multimodal import image_features, resize_nearest
+    from rika_ray.stages.codecs import jpeg_decode
+
+    f = image_features(resize_nearest(jpeg_decode(payload), 16, 16))
     return (float(f[0]), float(f[1]), float(f[2]))
 
 
@@ -1567,8 +1581,12 @@ def generate_corpus(
         language=None,
     )
 
-    # --- images: jpeg (incl. "extension-less" URL), png, gif
-    jpeg = docgen.build_jpeg(72, 72)
+    # --- images: jpeg (incl. "extension-less" URL), png, gif — all
+    # real-pixel fixtures now (rika_ray.stages.codecs decodes them for
+    # real); golden means are computed from a reference decode where the
+    # codec is lossy (JPEG) and from the source where it is not
+    jpeg_src = docgen.gradient_pixels(72, 72, seed=31)
+    jpeg = docgen.build_jpeg_rgb(jpeg_src, quality=90)
     for url_suffix in ("image.jpg", "image_without_extension"):
         b.add(
             "jpeg",
@@ -1583,14 +1601,17 @@ def generate_corpus(
                 "Image Width": "72 pixels",
             },
             url=f"https://fixtures.test/jpeg/{url_suffix}",
+            img_means=_image_golden_means_jpeg(jpeg),
         )
     # EXIF-bearing JPEG: IFD0 tags surface as tiff:/exif: metadata keys
+    jpeg_exif_src = docgen.gradient_pixels(480, 640, seed=32)
+    jpeg_exif = docgen.build_jpeg_exif_rgb(
+        jpeg_exif_src, make="Acme", model="Shutter 9", orientation=6,
+        datetime="2020:01:02 03:04:05",
+    )
     b.add(
         "jpeg-exif",
-        docgen.build_jpeg_exif(
-            640, 480, make="Acme", model="Shutter 9", orientation=6,
-            datetime="2020:01:02 03:04:05",
-        ),
+        jpeg_exif,
         content="",
         content_type="image/jpeg",
         media_type="image/jpeg",
@@ -1604,6 +1625,7 @@ def generate_corpus(
             "tiff:Orientation": "6",
             "exif:DateTime": "2020:01:02 03:04:05",
         },
+        img_means=_image_golden_means_jpeg(jpeg_exif),
     )
     # real pixel data (deterministic gradient) with every PNG filter type
     # in play — the multimodal pipeline REALLY decodes these (codecs.py)
@@ -1619,9 +1641,12 @@ def generate_corpus(
         extra_metadata={"Image Height": "48 pixels", "Image Width": "64 pixels"},
         img_means=_image_golden_means(png_src),
     )
+    tiff_src = docgen.gradient_pixels(100, 200, seed=33)
     b.add(
         "tiff",
-        docgen.build_tiff(200, 100, make="Acme"),
+        docgen.build_tiff_rgb(
+            tiff_src, make="Acme", packbits=True, rows_per_strip=16
+        ),
         content="",
         content_type="image/tiff",
         media_type="image/tiff",
@@ -1632,6 +1657,7 @@ def generate_corpus(
             "Image Width": "200 pixels",
             "tiff:Make": "Acme",
         },
+        img_means=_image_golden_means(tiff_src),
     )
     bmp_src = docgen.gradient_pixels(30, 40, seed=9)
     b.add(
@@ -1658,15 +1684,17 @@ def generate_corpus(
             "Image Width": "256 pixels",
         },
     )
+    gif_src = (docgen.gradient_pixels(16, 32, seed=34) // 32) * 32  # ≤256 colors
     b.add(
         "gif",
-        docgen.build_gif(32, 16),
+        docgen.build_gif_rgb(gif_src),
         content="",
         content_type="image/gif",
         media_type="image/gif",
         charset=None,
         language=None,
         extra_metadata={"Image Height": "16 pixels", "Image Width": "32 pixels"},
+        img_means=_image_golden_means(gif_src),
     )
 
     # --- png-grad / bmp-grad: scaled real-pixel variants whose decoded
@@ -1705,6 +1733,62 @@ def generate_corpus(
                 "Image Width": f"{bw} pixels",
             },
             img_means=_image_golden_means(src),
+        )
+        # gif/tiff/jpeg variants: the round-5 real codecs (LZW, PackBits
+        # strips, baseline Huffman+IDCT) under the same driver oracle
+        gh2, gw2 = 9 + (k % 4) * 5, 11 + (k % 6) * 5
+        # 8 levels/channel keeps every size under the 256-color GIF cap
+        src = (docgen.gradient_pixels(gh2, gw2, seed=300 + k) // 32) * 32
+        b.add(
+            "gif-grad",
+            docgen.build_gif_rgb(src),
+            content="",
+            content_type="image/gif",
+            media_type="image/gif",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{gh2} pixels",
+                "Image Width": f"{gw2} pixels",
+            },
+            img_means=_image_golden_means(src),
+        )
+        th, tw = 7 + (k % 5) * 4, 13 + (k % 4) * 6
+        src = docgen.gradient_pixels(th, tw, seed=400 + k)
+        b.add(
+            "tiff-grad",
+            docgen.build_tiff_rgb(
+                src, packbits=bool(k % 2), rows_per_strip=3 + (k % 4)
+            ),
+            content="",
+            content_type="image/tiff",
+            media_type="image/tiff",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{th} pixels",
+                "Image Width": f"{tw} pixels",
+            },
+            img_means=_image_golden_means(src),
+        )
+        jh, jw = 16 + (k % 3) * 8, 24 + (k % 4) * 8
+        jp = docgen.build_jpeg_rgb(
+            docgen.gradient_pixels(jh, jw, seed=500 + k),
+            quality=(60, 75, 90, 95)[k % 4],
+        )
+        b.add(
+            "jpeg-grad",
+            jp,
+            content="",
+            content_type="image/jpeg",
+            media_type="image/jpeg",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{jh} pixels",
+                "Image Width": f"{jw} pixels",
+            },
+            img_means=_image_golden_means_jpeg(jp),
         )
 
     # --- csv / tsv: delimiter-consistency content sniff (Tika

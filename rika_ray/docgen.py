@@ -1816,6 +1816,54 @@ def build_bmp_rgb(pixels) -> bytes:
     return bmp_encode(pixels)
 
 
+def build_jpeg_rgb(pixels, quality: int = 90) -> bytes:
+    """A REAL baseline 4:4:4 JFIF JPEG with entropy-coded pixel data."""
+    from rika_ray.stages.codecs import jpeg_encode
+
+    return jpeg_encode(pixels, quality)
+
+
+def build_jpeg_exif_rgb(
+    pixels,
+    make: str = "",
+    model: str = "",
+    orientation: int = 1,
+    datetime: str = "",
+    quality: int = 90,
+) -> bytes:
+    """A REAL baseline JPEG with an EXIF APP1 spliced in directly after
+    SOI (the EXIF-standard position), so both the metadata surface and
+    the pixel decode are genuine."""
+    h, w = pixels.shape[:2]
+    exif_only = build_jpeg_exif(
+        w, h, make=make, model=model, orientation=orientation, datetime=datetime
+    )
+    # APP1 sits between SOI and SOF0 in the header-only fixture
+    app1 = exif_only[2 : len(exif_only) - 15]  # strip SOI, SOF0(13), EOI
+    assert app1[:2] == b"\xff\xe1"
+    real = build_jpeg_rgb(pixels, quality)
+    return real[:2] + app1 + real[2:]
+
+
+def build_gif_rgb(pixels) -> bytes:
+    """A REAL GIF89a (LZW-compressed, palette-quantized losslessly;
+    pixels must use ≤256 distinct colors)."""
+    from rika_ray.stages.codecs import gif_encode
+
+    return gif_encode(pixels)
+
+
+def build_tiff_rgb(
+    pixels, make: str = "", packbits: bool = False, rows_per_strip=None
+) -> bytes:
+    """A REAL baseline little-endian RGB TIFF with strip pixel data."""
+    from rika_ray.stages.codecs import tiff_encode
+
+    return tiff_encode(
+        pixels, packbits=packbits, rows_per_strip=rows_per_strip, make=make
+    )
+
+
 def gradient_pixels(height: int, width: int, seed: int = 0):
     """Deterministic test pattern: channel-distinct affine gradients."""
     import numpy as np

@@ -970,7 +970,14 @@ def embedding_neardup_pairs(
                 }
             )
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+    # group fns must emit Arrow here: the result is unioned with an Arrow
+    # empty table below, and mixed pandas/arrow blocks trip Ray's
+    # inferred-block-type assertion at high CPU counts (round-1 pitfall)
+    _PAIR_SCHEMA = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def _pairs(group: pd.DataFrame) -> pa.Table:
         group = group.sort_values("vec_id")  # canonical vec_a < vec_b pairs
         vecs = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -978,14 +985,16 @@ def embedding_neardup_pairs(
         ids = group["vec_id"].to_numpy()
         frames = _capped_bucket_pairs(ids, unit, threshold, bucket_cap, seed)
         if not frames:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series(dtype="int64"),
-                    "vec_b": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+            return _PAIR_SCHEMA.empty_table()
+        cat = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "vec_a": pa.array(cat["vec_a"].to_numpy(np.int64)),
+                "vec_b": pa.array(cat["vec_b"].to_numpy(np.int64)),
+                "cosine": pa.array(cat["cosine"].to_numpy(np.float64)),
+            },
+            schema=_PAIR_SCHEMA,
+        )
 
     pairs = (
         emb.map_batches(

@@ -7,11 +7,12 @@ is real and tested; the *codec* step is stubbed deterministically because
 the image/audio libraries are not in this container:
 
 - header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
-- pixel/PCM decode is REAL for the formats whose whole decode path is
-  public-spec arithmetic — PNG (stdlib zlib + unfilter), uncompressed
-  BMP, RIFF/WAVE PCM (``rika_ray.stages.codecs``) — and for everything
-  when PIL is importable; entropy-coded formats (JPEG/GIF/TIFF/WebP,
-  MP3/FLAC/Vorbis) use a clearly-marked deterministic fake otherwise;
+- pixel/PCM decode is REAL for PNG (stdlib zlib + unfilter), baseline
+  JPEG (pure-numpy Huffman + IDCT), GIF (LZW), baseline TIFF
+  (raw/PackBits strips), uncompressed BMP, and RIFF/WAVE PCM
+  (``rika_ray.stages.codecs``) — and for everything when PIL is
+  importable; only WebP/PSD/ICO pixels and compressed audio
+  (MP3/FLAC/Vorbis) use a clearly-marked deterministic fake otherwise;
 - resize / feature-extract / frame-sample are REAL numpy math over the
   decoded arrays (they work identically on fake or real pixels).
 
@@ -83,17 +84,22 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8), media
-    # REAL pure-numpy decode where the whole path is public-spec
-    # arithmetic (PNG: stdlib zlib + unfilter; BMP: uncompressed) — the
-    # fake only remains for entropy-coded formats (JPEG/GIF/TIFF/WebP)
-    if media == "image/png":
-        from rika_ray.stages.codecs import png_decode
+    # REAL pure-numpy decode (rika_ray.stages.codecs): PNG, baseline
+    # JPEG, GIF, baseline TIFF, uncompressed BMP. A CodecError from a
+    # truncated/unsupported file propagates — ImageDecodeStage turns it
+    # into an error row (§2.8), exactly like a real codec library would.
+    # The deterministic fake only remains for WebP/PSD/ICO pixels.
+    from rika_ray.stages import codecs
 
-        return png_decode(payload), media
-    if media == "image/bmp":
-        from rika_ray.stages.codecs import bmp_decode
-
-        return bmp_decode(payload), media
+    real = {
+        "image/png": codecs.png_decode,
+        "image/bmp": codecs.bmp_decode,
+        "image/jpeg": codecs.jpeg_decode,
+        "image/gif": codecs.gif_decode,
+        "image/tiff": codecs.tiff_decode,
+    }.get(media)
+    if real is not None:
+        return real(payload), media
     return _fake_pixels(payload, h, w), media
 
 

@@ -1,12 +1,15 @@
 """Pure-Python/numpy pixel and PCM codecs for the multimodal block.
 
-The container carries no imaging/audio library, so the formats whose
-entire decode path is public-spec arithmetic are implemented here for
-real: PNG (zlib inflate — stdlib — plus per-scanline unfilter),
-uncompressed BMP (row flip + BGR swizzle), and RIFF/WAVE PCM. With
-these, the multimodal pipelines produce REAL pixels/samples for the
-png/bmp/wav rows of a corpus; entropy-coded formats (JPEG, GIF-LZW,
-TIFF variants, WebP) stay behind the clearly-marked deterministic stub
+The container carries no imaging/audio library, so the decode paths are
+implemented here for real from the public specs: PNG (zlib inflate —
+stdlib — plus per-scanline unfilter), baseline sequential JPEG (ITU
+T.81: stream-read quant/Huffman tables, DPCM/run-length entropy decode,
+vectorized dequant + IDCT, YCbCr→RGB), GIF (variable-width LZW), baseline
+TIFF (raw or PackBits strips, both byte orders), uncompressed BMP (row
+flip + BGR swizzle), and RIFF/WAVE PCM. Each decoder has a matching
+encoder so fixtures and tests share one spec implementation and
+round-trip losslessly (JPEG: within quantization tolerance). Only
+WebP/PSD/ICO pixels remain behind the clearly-marked deterministic stub
 in ``rika_ray.pipelines.multimodal`` unless PIL is importable.
 
 The reference never decodes pixels (rika/Tika read image *metadata*
@@ -284,3 +287,963 @@ def wav_pcm_decode(data: bytes) -> tuple[np.ndarray, int]:
         n = (x.size // channels) * channels
         x = x[:n].reshape(-1, channels).mean(axis=1)
     return x.astype(np.float32), int(rate)
+
+
+# ---------------------------------------------------------------- GIF ----
+# GIF89a LZW per the public GIF spec (variable code width 3..12 bits,
+# LSB-first packing, clear/EOI codes). Entropy decode is inherently
+# sequential per image; at pipeline level parallelism comes from the
+# actor pool running one image per loop iteration across batches.
+
+
+def _gif_lzw_decode(blob: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    # dictionary: entries are index strings; 0..clear-1 are roots
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(blob)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise CodecError("GIF: LZW stream truncated")
+            acc |= blob[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise CodecError("GIF: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise CodecError("GIF: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise CodecError("GIF: not enough pixel data")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bits: list[tuple[int, int]] = [(clear, width)]  # (code, width at emit)
+    cur = b""
+    for b in indices.tobytes():
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        bits.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        # decoder grows width when ITS table hits 2^width: its table lags
+        # ours by one entry, so grow after we pass the boundary
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # table full: reset
+            bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([b])
+    if cur:
+        bits.append((table[cur], width))
+    bits.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from a non-interlaced GIF87a/89a (first frame;
+    global or local palette; real LZW decode)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    if len(data) < 13:
+        raise CodecError("GIF: truncated header")
+    _w, _h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise CodecError("GIF: truncated global color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension block: label byte + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise CodecError(f"GIF: unexpected block 0x{b0:02x}")
+        if pos + 10 > len(data):
+            raise CodecError("GIF: truncated image descriptor")
+        _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        if iflags & 0x40:
+            raise CodecError("GIF: interlaced images unsupported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+            if pal.size != 3 * n:
+                raise CodecError("GIF: truncated local color table")
+            pal = pal.reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise CodecError("GIF: image without a color table")
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise CodecError(f"GIF: bad LZW min code size {min_code}")
+        blob = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            blob += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(blob), min_code, iw * ih)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise CodecError("GIF: palette index out of range")
+        return pal[idx].reshape(ih, iw, 3)
+    raise CodecError("GIF: no image data")
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """GIF89a from (H, W, 3) uint8 RGB with ≤256 distinct colors (palette
+    built from the data; real LZW compress) — the lossless fixture-side
+    inverse of ``gif_decode``."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise CodecError(f"GIF encoder needs ≤256 colors, got {pal.shape[0]}")
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, pal.shape[0])))))
+    pal_n = 1 << pal_bits
+    pal_full = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    min_code = max(2, pal_bits)
+    lzw = _gif_lzw_encode(idx.astype(np.uint8), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# --------------------------------------------------------------- TIFF ----
+
+
+def _packbits_decode(src: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n and len(out) < expect:
+        c = src[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += src[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise CodecError("TIFF: truncated PackBits run")
+            out += bytes([src[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) < expect:
+        raise CodecError("TIFF: PackBits underrun")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(src: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        # find a repeat run of ≥3
+        j = i
+        while j + 1 < n and src[j + 1] == src[j] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(src[i])
+            i = j + 1
+            continue
+        # literal run until the next ≥3 repeat (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and src[j] == src[j + 1] == src[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += src[i:j]
+        i = j
+    return bytes(out)
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from an 8-bit RGB or grayscale baseline TIFF
+    (both byte orders; compression none or PackBits; strip layout)."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise CodecError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise CodecError("TIFF: bad IFD offset")
+    (n_tags,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack(e + "HHI", data[off : off + 8])
+        tags[tag] = (ftype, count, data[off + 8 : off + 12])
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def vals(tag: int, default=None) -> list[int] | None:
+        if tag not in tags:
+            return default
+        ftype, count, raw4 = tags[tag]
+        sz = type_size.get(ftype)
+        if sz is None:
+            raise CodecError(f"TIFF: tag {tag} has unsupported type {ftype}")
+        total = sz * count
+        if total <= 4:
+            raw = raw4[:total]
+        else:
+            (voff,) = struct.unpack(e + "I", raw4)
+            raw = data[voff : voff + total]
+            if len(raw) != total:
+                raise CodecError(f"TIFF: tag {tag} values truncated")
+        fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+        return list(struct.unpack(e + fmt * count, raw))
+
+    w = (vals(256) or [0])[0]
+    h = (vals(257) or [0])[0]
+    if not w or not h:
+        raise CodecError("TIFF: missing dimensions")
+    comp = (vals(259, [1]))[0]
+    if comp not in (1, 32773):
+        raise CodecError(f"TIFF: unsupported compression {comp}")
+    photo = (vals(262, [1]))[0]
+    spp = (vals(277, [1]))[0]
+    bits = vals(258, [8])
+    if any(b != 8 for b in bits):
+        raise CodecError(f"TIFF: unsupported bit depths {bits}")
+    if (vals(317, [1]))[0] != 1:
+        raise CodecError("TIFF: predictors unsupported")
+    if (photo, spp) not in ((2, 3), (1, 1), (0, 1)):
+        raise CodecError(f"TIFF: unsupported photometric {photo}/spp {spp}")
+    offsets = vals(273)
+    counts = vals(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise CodecError("TIFF: missing strip layout")
+    rows_per = (vals(278, [h]))[0] or h
+    raw = bytearray()
+    row_bytes = w * spp
+    done_rows = 0
+    for so, sc in zip(offsets, counts):
+        strip = data[so : so + sc]
+        if len(strip) != sc:
+            raise CodecError("TIFF: truncated strip")
+        n_rows = min(rows_per, h - done_rows)
+        if comp == 32773:
+            raw += _packbits_decode(strip, n_rows * row_bytes)
+        else:
+            if len(strip) < n_rows * row_bytes:
+                raise CodecError("TIFF: strip smaller than its rows")
+            raw += strip[: n_rows * row_bytes]
+        done_rows += n_rows
+    if done_rows < h:
+        raise CodecError("TIFF: strips cover fewer rows than ImageLength")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        if photo == 0:  # WhiteIsZero
+            arr = 255 - arr
+        return np.repeat(arr, 3, axis=2)
+    return arr.copy()
+
+
+def tiff_encode(
+    pixels: np.ndarray,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    make: str = "",
+) -> bytes:
+    """Little-endian 8-bit RGB baseline TIFF from (H, W, 3) uint8 —
+    fixture-side inverse of ``tiff_decode`` (strip layout, optional
+    PackBits compression, optional Make tag for EXIF-surface parity with
+    ``docgen.build_tiff``)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise CodecError("encoder writes RGB only")
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        blob = px[y0 : y0 + rps].tobytes()
+        strips.append(_packbits_encode(blob) if packbits else blob)
+    n_strips = len(strips)
+    make_raw = make.encode("ascii") + b"\x00" if make else b""
+    # layout: header(8) | IFD | deferred values | strip data
+    tag_list = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    if make:
+        tag_list.append(0x010F)  # Make
+    tag_list.sort()
+    n_tags = len(tag_list)
+    ifd_off = 8
+    deferred_off = ifd_off + 2 + 12 * n_tags + 4
+    deferred = bytearray()
+
+    def _defer(blob: bytes) -> int:
+        off = deferred_off + len(deferred)
+        deferred.extend(blob)
+        if len(deferred) & 1:
+            deferred.append(0)
+        return off
+
+    bits_off = _defer(struct.pack("<HHH", 8, 8, 8))
+    make_off = _defer(make_raw) if len(make_raw) > 4 else None
+    # strip offsets filled after we know where data starts
+    entries: list[bytes] = []
+    data_off_pos: dict[int, int] = {}
+
+    def _entry(tag: int, ftype: int, count: int, value: bytes) -> bytes:
+        return struct.pack("<HHI", tag, ftype, count) + value.ljust(4, b"\x00")
+
+    strip_table_off = None
+    if n_strips > 1:
+        strip_table_off = _defer(b"\x00" * 4 * n_strips)
+        counts_table_off = _defer(
+            struct.pack("<" + "I" * n_strips, *[len(s) for s in strips])
+        )
+    data_start = deferred_off + len(deferred)
+    offs = []
+    pos = data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if strip_table_off is not None:
+        deferred[
+            strip_table_off - deferred_off : strip_table_off - deferred_off + 4 * n_strips
+        ] = struct.pack("<" + "I" * n_strips, *offs)
+    for tag in tag_list:
+        if tag == 256:
+            entries.append(_entry(256, 3, 1, struct.pack("<H", w)))
+        elif tag == 257:
+            entries.append(_entry(257, 3, 1, struct.pack("<H", h)))
+        elif tag == 258:
+            entries.append(_entry(258, 3, 3, struct.pack("<I", bits_off)))
+        elif tag == 259:
+            entries.append(
+                _entry(259, 3, 1, struct.pack("<H", 32773 if packbits else 1))
+            )
+        elif tag == 262:
+            entries.append(_entry(262, 3, 1, struct.pack("<H", 2)))
+        elif tag == 0x010F:
+            if make_off is not None:
+                entries.append(_entry(0x010F, 2, len(make_raw), struct.pack("<I", make_off)))
+            else:
+                entries.append(_entry(0x010F, 2, len(make_raw), make_raw))
+        elif tag == 273:
+            if n_strips == 1:
+                entries.append(_entry(273, 4, 1, struct.pack("<I", offs[0])))
+            else:
+                entries.append(_entry(273, 4, n_strips, struct.pack("<I", strip_table_off)))
+        elif tag == 277:
+            entries.append(_entry(277, 3, 1, struct.pack("<H", 3)))
+        elif tag == 278:
+            entries.append(_entry(278, 3, 1, struct.pack("<H", rps)))
+        elif tag == 279:
+            if n_strips == 1:
+                entries.append(_entry(279, 4, 1, struct.pack("<I", len(strips[0]))))
+            else:
+                entries.append(_entry(279, 4, n_strips, struct.pack("<I", counts_table_off)))
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_tags)
+    out += b"".join(entries)
+    out += struct.pack("<I", 0)
+    out += deferred
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# --------------------------------------------------------------- JPEG ----
+# Baseline sequential DCT JPEG (SOF0) per the public JPEG spec (ITU T.81):
+# 8x8 DCT + quantization + zigzag + DPCM/run-length + canonical Huffman.
+# The decoder reads quant/Huffman tables from the stream (DQT/DHT), so it
+# decodes any baseline 4:4:4 or grayscale JPEG without restart markers;
+# progressive (SOF2) and subsampled files raise CodecError. DCT/dequant
+# stages are vectorized over all blocks; only the entropy coder walks the
+# bitstream sequentially (inherent to Huffman).
+
+_JPEG_QL = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_JPEG_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# canonical Huffman specs (BITS, HUFFVAL): the widely published baseline
+# tables. Correctness of decode does NOT depend on these being the Annex K
+# values — the decoder rebuilds codes from the DHT segment in the file.
+_HT_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    m = np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5  # orthonormal DCT-II basis
+
+
+_DCT_M = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical construction (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    ql = np.clip(np.floor((_JPEG_QL * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_JPEG_QC * scale + 50) / 100), 1, 255)
+    return ql, qc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float → (n_blocks, 8, 8), padding by edge replication;
+    blocks ordered row-major (the baseline MCU order for 1x1 sampling)."""
+    h, w = plane.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=0)
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JFIF 4:4:4 JPEG from (H, W, 3) uint8 RGB."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise CodecError("encoder writes RGB only")
+    if h > 65535 or w > 65535 or h == 0 or w == 0:
+        raise CodecError("bad dimensions")
+    ql, qc = _quality_tables(quality)
+    planes = _rgb_to_ycbcr(px)  # (3, H, W)
+    quant = [ql, qc, qc]
+    coeff_zz: list[np.ndarray] = []
+    for ci in range(3):
+        blocks = _blocks_of(planes[ci] - 128.0)
+        dct = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        qd = np.round(dct / quant[ci]).astype(np.int32)
+        coeff_zz.append(qd.reshape(-1, 64)[:, _ZIGZAG])
+    # entropy coding
+    dc_l = _canonical_codes(*_HT_DC_L)
+    dc_c = _canonical_codes(*_HT_DC_C)
+    ac_l = _canonical_codes(*_HT_AC_L)
+    ac_c = _canonical_codes(*_HT_AC_C)
+    dc_tabs = [dc_l, dc_c, dc_c]
+    ac_tabs = [ac_l, ac_c, ac_c]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = coeff_zz[0].shape[0]
+
+    def _put_magnitude(v: int) -> tuple[int, int]:
+        s = int(abs(v)).bit_length()
+        return (s, v if v >= 0 else v + (1 << s) - 1)
+
+    for bi in range(n_blocks):
+        for ci in range(3):
+            zz = coeff_zz[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, mag = _put_magnitude(diff)
+            code, length = dc_tabs[ci][s]
+            bw.put(code, length)
+            bw.put(mag, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, length = ac_tabs[ci][0x00]  # EOB
+                        bw.put(code, length)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, length = ac_tabs[ci][0xF0]  # ZRL
+                        bw.put(code, length)
+                        run = 0
+                    continue
+                s, mag = _put_magnitude(v)
+                code, length = ac_tabs[ci][(run << 4) | s]
+                bw.put(code, length)
+                bw.put(mag, s)
+                run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + tbl.astype(np.uint8).reshape(-1)[_ZIGZAG].tobytes())
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + bytes([1, 0x11, 0])  # Y: 1x1 sampling, quant table 0
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + bytes([1, 0x00])  # Y: DC table 0, AC table 0
+        + bytes([2, 0x11])
+        + bytes([3, 0x11])
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, ql)
+        + dqt(1, qc)
+        + dht(0, 0, _HT_DC_L)
+        + dht(1, 0, _HT_AC_L)
+        + dht(0, 1, _HT_DC_C)
+        + dht(1, 1, _HT_AC_C)
+        + sof0
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+# LUT-based entropy decode: Huffman codes are ≤16 bits, so a 65536-entry
+# table maps the next 16 bits straight to (symbol, code length) — one
+# string slice + int() + two list lookups per symbol instead of a
+# per-bit Python loop. LUTs are cached process-wide keyed by the DHT
+# spec bytes (every image from one encoder shares tables).
+_HUFF_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    key = bytes(bits) + bytes(vals)
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [-1] * 65536
+    ln = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[start : start + span] = [vals[k]] * span
+            ln[start : start + span] = [length] * span
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_HUFF_LUT_CACHE) > 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
+class _BitStream:
+    """Destuffed scan data as a '0'/'1' string: C-speed int() parsing
+    for magnitude bits and 16-bit LUT peeks for Huffman symbols."""
+
+    __slots__ = ("s", "pos", "n")
+
+    def __init__(self, data: bytes) -> None:
+        # any 0xFF inside scan data must be a stuffed 0xFF00 (restart
+        # markers are rejected at the DRI segment)
+        i = data.find(b"\xff")
+        while i != -1 and i < len(data) - 1:
+            if data[i + 1] != 0x00:
+                raise CodecError(
+                    f"JPEG: unexpected marker 0xFF{data[i + 1]:02X} in scan"
+                )
+            i = data.find(b"\xff", i + 2)
+        clean = data.replace(b"\xff\x00", b"\xff")
+        # leading 0x01 sentinel keeps bin() from dropping leading zeros
+        self.s = bin(int.from_bytes(b"\x01" + clean, "big"))[3:]
+        self.pos = 0
+        self.n = len(self.s)
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.pos
+        if p + k > self.n:
+            raise CodecError("JPEG: scan data exhausted")
+        self.pos = p + k
+        return int(self.s[p : p + k], 2)
+
+    def coef(self, lut: tuple[list[int], list[int]]) -> tuple[int, int]:
+        """One fused read: Huffman symbol + its SSSS magnitude bits with
+        sign extension (T.81 EXTEND) — the hot path of the scan loop.
+        Works for DC too (a DC symbol IS its size category)."""
+        sym, ln = lut
+        s_str = self.s
+        p = self.pos
+        chunk = s_str[p : p + 16]
+        if len(chunk) < 16:
+            if not chunk:
+                raise CodecError("JPEG: scan data exhausted")
+            chunk = chunk + "1" * (16 - len(chunk))
+        idx = int(chunk, 2)
+        v = sym[idx]
+        if v < 0:
+            raise CodecError("JPEG: invalid Huffman code")
+        p += ln[idx]
+        size = v & 15
+        if size:
+            q = p + size
+            if q > self.n:
+                raise CodecError("JPEG: scan data exhausted")
+            mag = int(s_str[p:q], 2)
+            p = q
+            if mag < (1 << (size - 1)):
+                mag -= (1 << size) - 1
+        else:
+            mag = 0
+            if p > self.n:
+                raise CodecError("JPEG: scan data exhausted")
+        self.pos = p
+        return v, mag
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from a baseline sequential JPEG (SOF0, 8-bit,
+    1x1 sampling i.e. 4:4:4 or grayscale, no restart markers). Tables
+    are read from the stream; progressive/subsampled files raise."""
+    if data[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant_id)
+    scan_map: list[tuple[int, int]] = []  # (dc_tid, ac_tid)
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise CodecError("JPEG: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise CodecError("JPEG: 16-bit quant tables unsupported")
+                zz = np.frombuffer(body[bp + 1 : bp + 65], dtype=np.uint8)
+                if zz.size != 64:
+                    raise CodecError("JPEG: truncated DQT")
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[_ZIGZAG] = zz  # stored in zigzag order
+                qtabs[tq] = tbl.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                if len(vals) != nv:
+                    raise CodecError("JPEG: truncated DHT")
+                htabs[(tc, th)] = _huff_lut(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise CodecError("JPEG: only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3):
+                raise CodecError(f"JPEG: {nc}-component images unsupported")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise CodecError("JPEG: subsampled components unsupported")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise CodecError(f"JPEG: SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri:
+                raise CodecError("JPEG: restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != len(comps):
+                raise CodecError("JPEG: partial scans unsupported")
+            for i in range(ns):
+                td_ta = body[2 + 2 * i]
+                scan_map.append((td_ta >> 4, td_ta & 0x0F))
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if h is None or scan_start is None:
+        raise CodecError("JPEG: missing SOF/SOS")
+    # find scan end (EOI)
+    end = data.rfind(b"\xff\xd9")
+    if end < scan_start:
+        end = len(data)
+    br = _BitStream(data[scan_start:end])
+    bw_blocks = ((w + 7) // 8)
+    bh_blocks = ((h + 7) // 8)
+    n_blocks = bw_blocks * bh_blocks
+    nc = len(comps)
+    luts = []
+    for ci in range(nc):
+        dc_lut = htabs.get((0, scan_map[ci][0]))
+        ac_lut = htabs.get((1, scan_map[ci][1]))
+        if dc_lut is None or ac_lut is None:
+            raise CodecError("JPEG: missing Huffman table")
+        luts.append((dc_lut, ac_lut))
+    coeffs = np.zeros((nc, n_blocks, 64), dtype=np.float64)
+    pred = [0] * nc
+    coef = br.coef
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            dc_lut, ac_lut = luts[ci]
+            _s, diff = coef(dc_lut)  # DC symbol == size category
+            pred[ci] += diff
+            zzl = [0.0] * 64
+            zzl[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym, val = coef(ac_lut)
+                if sym == 0x00:  # EOB
+                    break
+                if sym & 0x0F == 0:
+                    if sym != 0xF0:
+                        raise CodecError("JPEG: bad AC symbol")
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise CodecError("JPEG: AC run past block end")
+                zzl[k] = val
+                k += 1
+            coeffs[ci, bi] = zzl
+    planes = []
+    for ci in range(nc):
+        qt = qtabs.get(comps[ci][1])
+        if qt is None:
+            raise CodecError("JPEG: missing quant table")
+        blk = coeffs[ci][:, _UNZIGZAG].reshape(-1, 8, 8) * qt
+        spatial = np.einsum("ji,njk,kl->nil", _DCT_M, blk, _DCT_M) + 128.0
+        plane = (
+            spatial.reshape(bh_blocks, bw_blocks, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_blocks * 8, bw_blocks * 8)
+        )
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -20,8 +20,9 @@ from rika_ray.pipelines import multimodal as mm
 @pytest.mark.parametrize(
     "payload,h,w",
     [
-        (docgen.build_jpeg(48, 32), 32, 48),
-        # real-pixel PNG: exercises the pure-numpy codec path
+        # all three exercise REAL pure-numpy codec paths (round 5: JPEG
+        # and GIF joined PNG/BMP/TIFF in rika_ray.stages.codecs)
+        (docgen.build_jpeg_rgb(docgen.gradient_pixels(32, 48)), 32, 48),
         (
             docgen.build_png_rgb(
                 docgen.gradient_pixels(48, 64), filters=[2] * 48
@@ -29,7 +30,13 @@ from rika_ray.pipelines import multimodal as mm
             48,
             64,
         ),
-        (docgen.build_gif(32, 16), 16, 32),
+        (
+            docgen.build_gif_rgb(
+                (docgen.gradient_pixels(16, 32) // 32) * 32
+            ),
+            16,
+            32,
+        ),
     ],
 )
 def test_decode_contract_shape_dtype_layout(payload, h, w):
@@ -45,26 +52,30 @@ def test_decode_contract_shape_dtype_layout(payload, h, w):
 
 
 def test_stub_decode_is_deterministic():
-    # GIF stays behind the stub (LZW entropy coding); PNG no longer
-    # qualifies — it has a REAL decoder (rika_ray.stages.codecs)
-    payload = docgen.build_gif(20, 10)
+    # WebP is the remaining stubbed format (VP8 entropy coding); PNG/
+    # JPEG/GIF/TIFF/BMP all have REAL decoders (rika_ray.stages.codecs)
+    payload = docgen.build_webp(20, 10)
     a, _ = mm.decode_image(payload)
     b, _ = mm.decode_image(payload)
     assert np.array_equal(a, b)
 
 
 def test_real_codec_parity_with_stub():
-    """When PIL is importable: a REAL image decoded by PIL must satisfy the
-    same contract the stub satisfies, and the stub (forced via monkeypatch)
-    must agree on shape/dtype for the same payload — value equality is NOT
-    expected (the stub is a fake), structural equality is."""
+    """When PIL is importable: a REAL image decoded by PIL must satisfy
+    the same contract as the pure-numpy codecs (forced via monkeypatch) —
+    shape/dtype/feature-schema equality; PNG and GIF are lossless so even
+    values agree, JPEG agrees within quantization error."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 
     img = PIL_Image.new("RGB", (24, 18))
     for fmt in ("PNG", "JPEG", "GIF"):
         buf = io.BytesIO()
-        img.save(buf, format=fmt)
+        if fmt == "JPEG":
+            # 4:4:4 — the pure-numpy decoder rejects subsampled scans
+            img.save(buf, format=fmt, subsampling=0)
+        else:
+            img.save(buf, format=fmt)
         payload = buf.getvalue()
         real_pixels, media = mm.decode_image(payload)
         assert real_pixels.shape == (18, 24, 3)

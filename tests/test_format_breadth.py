@@ -316,9 +316,10 @@ def test_new_image_types_decode_with_stub():
     from rika_ray.pipelines.multimodal import decode_image
 
     for payload, h, w in (
-        (docgen.build_tiff(20, 10), 10, 20),
-        # bmp has a REAL decoder now — feed it real pixels
+        # tiff/bmp have REAL decoders now — feed them real pixels
+        (docgen.build_tiff_rgb(docgen.gradient_pixels(10, 20)), 10, 20),
         (docgen.build_bmp_rgb(docgen.gradient_pixels(8, 16)), 8, 16),
+        # webp pixels are the remaining stub (dims from the VP8X header)
         (docgen.build_webp(12, 6), 6, 12),
     ):
         pixels, media = decode_image(payload)

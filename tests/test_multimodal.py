@@ -19,14 +19,22 @@ from rika_ray.pipelines.multimodal import (
 )
 
 
-def test_decode_image_dims_real_pixels_stubbed():
-    jpeg = docgen.build_jpeg(72, 48)
+def test_decode_image_jpeg_real_pixels():
+    src = docgen.gradient_pixels(48, 72, seed=8)
+    jpeg = docgen.build_jpeg_rgb(src, quality=95)
     pixels, media = decode_image(jpeg)
     assert media == "image/jpeg"
     assert pixels.shape == (48, 72, 3) and pixels.dtype == np.uint8
-    # deterministic stub: same payload → same pixels
+    # REAL decode: close to the source within quantization error
+    assert np.abs(pixels.astype(int) - src.astype(int)).mean() < 8.0
+    # and deterministic
     pixels2, _ = decode_image(jpeg)
     assert (pixels == pixels2).all()
+    # header-only JPEG (no scan data) is refused, not faked
+    from rika_ray.stages.codecs import CodecError
+
+    with pytest.raises(CodecError):
+        decode_image(docgen.build_jpeg(72, 48))
 
 
 def test_decode_rejects_non_image():
@@ -71,8 +79,9 @@ def test_image_pipeline_over_corpus(ray_session, corpus_dir):
     web_pages = ray.data.read_parquet(f"{corpus_dir}/web_pages.parquet")
     out = image_feature_pipeline(web_pages, target_size=(16, 16)).take_all()
     # corpus: jpeg (x2 urls), jpeg-exif, png, gif, tiff, bmp, webp, psd,
-    # ico + the scaled png-grad/bmp-grad families (3 each at n_per_family=3)
-    assert len(out) == 16
+    # ico + the scaled png/bmp/gif/tiff/jpeg -grad oracle families
+    # (5 formats × 3 at n_per_family=3)
+    assert len(out) == 25
     for r in out:
         assert r["error"] is None
         assert len(r["embedding"]) == 11
