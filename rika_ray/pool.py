@@ -35,9 +35,19 @@ def pool_spec(
     ``map_batches(concurrency=...)``: short inputs pay only ``floor``
     actors of startup, large inputs scale to the CPU-proportional cap.
     Use this for the auxiliary pipelines; fixed ``pool_size()`` only where
-    the stage is known to saturate the pool immediately (extraction)."""
+    the stage is known to saturate the pool immediately (extraction).
+
+    The floor shrinks on tiny clusters: a pipeline may chain two pools
+    (decode → features), and their eagerly-started floor actors at the
+    conventional ``num_cpus=0.5`` must not reserve every cluster CPU or
+    the stateless read/write tasks never schedule and the streaming
+    executor deadlocks silently (observed at ``num_cpus=2``: 2 pools ×
+    2 floor actors × 0.5 CPU = the whole cluster). Bounding the floor by
+    ``cluster_cpus() - 1`` keeps two chained floors at ``cpus - 1``
+    reserved, always leaving one CPU for task operators."""
     hi = pool_size(per_cpu, floor=floor, cap=cap)
-    return (min(floor, hi), hi)
+    lo = max(1, min(floor, cluster_cpus() - 1, hi))
+    return (lo, hi)
 
 
 def pool_size(
