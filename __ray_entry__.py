@@ -187,6 +187,38 @@ def _q_image_features_decoded(sf_dir: str):
     )
 
 
+def _q_audio_features_decoded(sf_dir: str):
+    """Frame count + mean frame energy of the REAL-codec audio decodes
+    (RIFF/WAVE PCM, native FLAC with Rice/fixed/LPC subframes) vs
+    generator-computed ground truth in the golden table — the audio twin
+    of ``image_features_decoded``. Formats without a pure-Python decoder
+    (MP3/Vorbis, stub PCM) are excluded here and stay rows-only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import audio_frame_pipeline
+
+    corpus = _corpus_path(sf_dir)
+    ds = read_web_pages(f"{corpus}/web_pages.parquet")
+
+    def _real_only(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["format"],
+            value_set=pa.array(
+                ["audio/vnd.wave", "audio/x-flac"], pa.string()
+            ),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        return batch.select(["url", "format", "n_frames", "mean_energy"])
+
+    return (
+        audio_frame_pipeline(ds)
+        .map_batches(_real_only, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
 def _q_warc_media_tally(sf_dir: str):
     """Common-Crawl-native ingest: corpus pages round-tripped through a
     .warc.gz file (per-record gzip members, ISO 28500 framing) → read_warc
@@ -239,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         # --- real-codec decode vs generator ground truth (SQL-oracled) ---
         "image_features_decoded": _q_image_features_decoded,
+        "audio_features_decoded": _q_audio_features_decoded,
         # --- extraction pipeline (rows-only: full nested output) ---
         "extract_full": _q_extract_full,
         # --- extraction invariants vs checked-in goldens (SQL-oracled):
@@ -353,6 +386,12 @@ def oracle_sql() -> dict[str, str]:
             "img_mean_b AS mean_b "
             f"FROM read_parquet('{_GOLDEN_HASHES}') "
             "WHERE img_mean_r IS NOT NULL ORDER BY url"
+        ),
+        "audio_features_decoded": (
+            "SELECT url, media_type AS format, "
+            "audio_n_frames::INTEGER AS n_frames, audio_energy AS mean_energy "
+            f"FROM read_parquet('{_GOLDEN_HASHES}') "
+            "WHERE audio_n_frames IS NOT NULL ORDER BY url"
         ),
         # detector-regression pin: the engine's frozen lang-ID output over
         # the driver's documents table (tools/gen_golden_lang.py)

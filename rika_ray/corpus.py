@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 26
+CORPUS_VERSION = 28
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -186,6 +186,7 @@ class _Builder:
         claimed_lang: str | None = None,
         url: str | None = None,
         img_means: tuple[float, float, float] | None = None,
+        audio_feats: tuple[int, float] | None = None,
     ) -> str:
         url = url or f"https://fixtures.test/{family}/{self._i:06d}"
         ts = BASE_TS + timedelta(seconds=self._i)
@@ -229,6 +230,11 @@ class _Builder:
                 "img_mean_r": None if img_means is None else img_means[0],
                 "img_mean_g": None if img_means is None else img_means[1],
                 "img_mean_b": None if img_means is None else img_means[2],
+                # analytically-known decoded-audio features (real-codec
+                # formats only): frame count + mean frame energy — the
+                # audio_features_decoded oracle
+                "audio_n_frames": None if audio_feats is None else audio_feats[0],
+                "audio_energy": None if audio_feats is None else audio_feats[1],
             }
         )
         self._i += 1
@@ -259,6 +265,20 @@ def _image_golden_means_jpeg(payload: bytes) -> tuple[float, float, float]:
 
     f = image_features(resize_nearest(jpeg_decode(payload), 16, 16))
     return (float(f[0]), float(f[1]), float(f[2]))
+
+
+def _audio_golden_feats(payload: bytes) -> tuple[int, float]:
+    """Ground-truth (n_frames, mean_energy) for a real-codec audio
+    fixture, computed by the engine's own decode → frame-sample path
+    (the codec itself is pinned independently by the round-trip suite in
+    tests/test_codecs.py — same convention as the JPEG image goldens)."""
+    import numpy as np
+
+    from rika_ray.pipelines.multimodal import decode_audio, frame_sample
+
+    frames = frame_sample(decode_audio(payload))
+    energy = float(np.square(frames).mean()) if frames.size else 0.0
+    return (int(frames.shape[0]), energy)
 
 
 def generate_corpus(
@@ -1113,41 +1133,63 @@ def generate_corpus(
             url=f"https://fixtures.test/js/{k:06d}/app{ext}",
         )
 
-    # --- wav / flac / ogg / mp4 / ico: metadata-only media formats
-    # (Tika AudioParser / MP4Parser convention — empty content, XMPDM keys)
-    wav_rate, wav_secs = rng.choice([(22050, 1), (44100, 2), (48000, 1)]), rng.randint(1, 4)
-    b.add(
-        "wav",
-        docgen.build_wav(wav_rate[0], wav_rate[1], 16, wav_rate[0] * wav_secs),
-        content="",
-        content_type="audio/vnd.wave",
-        media_type="audio/vnd.wave",
-        charset=None,
-        language=None,
-        extra_metadata={
-            "xmpDM:audioSampleRate": str(wav_rate[0]),
-            "xmpDM:audioChannelType": "Mono" if wav_rate[1] == 1 else "Stereo",
-            "bits": "16",
-            "xmpDM:duration": f"{wav_secs:.2f}",
-        },
-    )
-    flac_rate = rng.choice([44100, 48000])
-    flac_secs = rng.randint(1, 4)
-    b.add(
-        "flac",
-        docgen.build_flac(flac_rate, 2, 16, flac_rate * flac_secs),
-        content="",
-        content_type="audio/x-flac",
-        media_type="audio/x-flac",
-        charset=None,
-        language=None,
-        extra_metadata={
-            "xmpDM:audioSampleRate": str(flac_rate),
-            "xmpDM:audioChannelType": "Stereo",
-            "bits": "16",
-            "xmpDM:duration": f"{flac_secs:.2f}",
-        },
-    )
+    # --- wav / flac: real-PCM audio (decoded for real by the multimodal
+    # pipeline — rika_ray.stages.codecs); metadata per the Tika
+    # AudioParser convention (empty content, XMPDM keys)
+    for k in range(max(4, min(n_per_family, 8))):
+        wav_rate, wav_secs = rng.choice(
+            [(22050, 1), (44100, 2), (48000, 1)]
+        ), rng.randint(1, 3)
+        wav_pcm = docgen.tone_samples(
+            wav_rate[0] * wav_secs, wav_rate[0], wav_rate[1], seed=41 + k
+        )
+        wav_blob = docgen.build_wav(
+            wav_rate[0], wav_rate[1], 16, samples=wav_pcm
+        )
+        b.add(
+            "wav",
+            wav_blob,
+            content="",
+            content_type="audio/vnd.wave",
+            media_type="audio/vnd.wave",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "xmpDM:audioSampleRate": str(wav_rate[0]),
+                "xmpDM:audioChannelType": "Mono" if wav_rate[1] == 1 else "Stereo",
+                "bits": "16",
+                "xmpDM:duration": f"{wav_secs:.2f}",
+            },
+            audio_feats=_audio_golden_feats(wav_blob),
+        )
+        flac_rate = rng.choice([44100, 48000])
+        flac_secs = rng.randint(1, 3)
+        # REAL native FLAC (engine codec): stereo tone, decorrelation mode
+        # cycled so the production pipeline exercises every reconstruction
+        flac_mode = ["independent", "left-side", "right-side", "mid-side"][k % 4]
+        flac_blob = docgen.build_flac_pcm(
+            docgen.tone_samples(flac_rate * flac_secs, flac_rate, 2, seed=97 + k),
+            flac_rate,
+            stereo_mode=flac_mode,
+        )
+        b.add(
+            "flac",
+            flac_blob,
+            content="",
+            content_type="audio/x-flac",
+            media_type="audio/x-flac",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "xmpDM:audioSampleRate": str(flac_rate),
+                "xmpDM:audioChannelType": "Stereo",
+                "bits": "16",
+                "xmpDM:duration": f"{flac_secs:.2f}",
+            },
+            audio_feats=_audio_golden_feats(flac_blob),
+        )
+
+    # --- ogg / mp4 / ico: metadata-only media formats
     ogg_rate = rng.choice([22050, 44100])
     b.add(
         "ogg",

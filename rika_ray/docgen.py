@@ -1680,16 +1680,58 @@ def build_mbox(messages: list[bytes], sender: str = "alice@fixtures.test") -> by
     return bytes(out)
 
 
+def tone_samples(
+    n: int, rate: int, channels: int = 1, seed: int = 0
+) -> "object":
+    """Deterministic int16 test audio: per-channel sine at a seed-picked
+    frequency plus mild seeded noise — planar ``(channels, n)``."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float64) / rate
+    chans = []
+    for _c in range(channels):
+        freq = float(rng.randint(200, 2000))
+        amp = float(rng.randint(4000, 12000))
+        wave = amp * np.sin(2.0 * np.pi * freq * t)
+        wave += rng.randint(-64, 64, n)
+        chans.append(np.clip(wave, -32768, 32767).astype(np.int16))
+    return np.stack(chans)
+
+
+def build_flac_pcm(
+    samples: "object",
+    sample_rate: int,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """A REAL native-FLAC file from planar int16 samples — thin wrapper
+    over the engine codec (``rika_ray.stages.codecs.flac_encode``) so
+    fixtures and engine share one spec implementation, like the PNG/JPEG
+    builders."""
+    from rika_ray.stages.codecs import flac_encode
+
+    return flac_encode(samples, sample_rate, stereo_mode=stereo_mode)
+
+
 def build_wav(
     sample_rate: int = 44100,
     channels: int = 2,
     bits: int = 16,
     n_samples: int = 1000,
+    samples: "object | None" = None,
 ) -> bytes:
-    """A RIFF/WAVE file: canonical fmt chunk + a silent data chunk."""
+    """A RIFF/WAVE file: canonical fmt chunk + a data chunk (silence by
+    default; pass planar int16 ``samples`` of shape ``(channels, n)`` for
+    real audio — they are interleaved per the RIFF layout)."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
-    data = b"\x00" * (n_samples * block_align)
+    if samples is not None:
+        assert bits == 16
+        arr = samples.T.reshape(-1)  # interleave planar -> frame order
+        data = arr.astype("<i2").tobytes()
+        n_samples = samples.shape[1]
+    else:
+        data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
     )

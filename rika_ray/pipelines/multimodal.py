@@ -275,14 +275,17 @@ def decode_audio_stub(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Mono float32 PCM: REAL decode for RIFF/WAVE integer PCM (pure
-    numpy, ``rika_ray.stages.codecs.wav_pcm_decode``); the deterministic
-    stub covers compressed codecs (MP3/FLAC/Vorbis) the container has no
-    decoder for."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        from rika_ray.stages.codecs import wav_pcm_decode
+    """Mono float32 PCM: REAL decode for RIFF/WAVE integer PCM and for
+    native FLAC (pure Python/numpy Rice + fixed/LPC predictors,
+    ``rika_ray.stages.codecs``); the deterministic stub covers the
+    codecs the container has no decoder for (MP3/Vorbis)."""
+    from rika_ray.stages import codecs
 
-        samples, _rate = wav_pcm_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = codecs.wav_pcm_decode(payload)
+        return samples
+    if payload[:4] == b"fLaC":
+        samples, _rate = codecs.flac_decode(payload)
         return samples
     return decode_audio_stub(payload)
 
@@ -299,23 +302,70 @@ def frame_sample(
 
 
 class AudioFrameStage:
-    """Actor-pool stage: binary audio rows → per-row frame count + frame
-    energy summary (real math over the stub PCM)."""
+    """Actor-pool stage: binary audio rows → sniffed format + per-row
+    frame count + frame energy summary (REAL math over the decoded PCM —
+    real decode for WAV/FLAC, stub for MP3/Vorbis). Corrupt rows become
+    error rows (§2.8), like ``ImageDecodeStage``."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_frames, energies = [], []
+        formats, n_frames, energies, errors = [], [], [], []
         for i in range(len(batch)):
             payload = batch["html"][i].as_py() or b""
-            frames = frame_sample(decode_audio(payload))
-            n_frames.append(frames.shape[0])
-            energies.append(float(np.square(frames).mean()) if frames.size else 0.0)
+            formats.append(sniff_bytes(payload[:2048], payload[-4096:]))
+            try:
+                frames = frame_sample(decode_audio(payload))
+                n_frames.append(frames.shape[0])
+                energies.append(
+                    float(np.square(frames).mean()) if frames.size else 0.0
+                )
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — poison rows stay rows
+                n_frames.append(None)
+                energies.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
         return pa.table(
             {
                 "url": batch["url"],
+                "format": pa.array(formats, pa.string()),
                 "n_frames": pa.array(n_frames, pa.int32()),
                 "mean_energy": pa.array(energies, pa.float64()),
+                "error": pa.array(errors, pa.string()),
             }
         )
+
+
+def audio_frame_pipeline(
+    web_pages: ray.data.Dataset,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """web_pages → audio rows only → decode → frame-sample features,
+    mirroring ``image_feature_pipeline``: the sniff filter runs BEFORE
+    the decode pool so non-audio documents never enter it."""
+    from rika_ray.pool import pool_spec
+
+    if concurrency is None:
+        concurrency = pool_spec()
+
+    def _only_audio(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        prefixes = pc.binary_slice(batch["html"], 0, 2048).to_pylist()
+        suffixes = pc.binary_slice(batch["html"], -4096, None).to_pylist()
+        keep = [
+            bool(p) and sniff_bytes(p, s).startswith("audio/")
+            for p, s in zip(prefixes, suffixes)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return web_pages.map_batches(
+        _only_audio, batch_format="pyarrow"
+    ).map_batches(
+        AudioFrameStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
 
 
 # ---------------------------------------------------------------------------

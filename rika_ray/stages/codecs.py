@@ -1247,3 +1247,480 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- FLAC ----
+# Native FLAC per the public format spec (RFC 9639 / xiph.org): STREAMINFO
+# + frame stream, subframe types CONSTANT / VERBATIM / FIXED(0-4) / LPC,
+# partitioned Rice residuals, left/right/mid-side stereo decorrelation.
+# Entropy decode reuses the '0'/'1' bit-string technique from the JPEG
+# decoder: Rice unary quotients become `str.find('1', pos)` — a C-speed
+# scan — and k-bit reads are `int(s[a:b], 2)`. Like rika's Tika-side
+# audio parsers, the *metadata* path lives in stages/audio_meta.py; this
+# module adds the PCM decode the multimodal pipelines feature over.
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005 init 0, unreflected (FLAC whole-frame CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_number(value: int) -> bytes:
+    """FLAC's UTF-8-style frame/sample-number coding (plain UTF-8 for
+    the < 2^31 values an encoder of ours ever emits)."""
+    if value < 0x80:
+        return bytes([value])
+    out = []
+    n = 1
+    while value >= (1 << (6 * n + (6 - n))):
+        n += 1
+    lead = (0xFF << (7 - n)) & 0xFF | (value >> (6 * n))
+    out.append(lead)
+    for i in range(n - 1, -1, -1):
+        out.append(0x80 | ((value >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+class _FlacBits:
+    """MSB-first bit reader over a '0'/'1' string (see module note)."""
+
+    __slots__ = ("s", "pos")
+
+    def __init__(self, data: bytes, bit_pos: int = 0) -> None:
+        self.s = bin(int.from_bytes(b"\x01" + data, "big"))[3:]
+        self.pos = bit_pos
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.pos
+        q = p + k
+        if q > len(self.s):
+            raise CodecError("FLAC: bitstream exhausted")
+        self.pos = q
+        return int(self.s[p:q], 2)
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self) -> int:
+        p = self.s.find("1", self.pos)
+        if p == -1:
+            raise CodecError("FLAC: bitstream exhausted in unary")
+        q = p - self.pos
+        self.pos = p + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def utf8_number(self) -> int:
+        first = self.bits(8)
+        if first < 0x80:
+            return first
+        n = 0
+        while (first << n) & 0x80:
+            n += 1
+        if n < 2 or n > 7:
+            raise CodecError("FLAC: bad UTF-8 coded number")
+        value = first & (0x7F >> n)
+        for _ in range(n - 1):
+            cont = self.bits(8)
+            if cont & 0xC0 != 0x80:
+                raise CodecError("FLAC: bad UTF-8 continuation")
+            value = (value << 6) | (cont & 0x3F)
+        return value
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_residual(br: _FlacBits, block_size: int, order: int) -> list[int]:
+    method = br.bits(2)
+    if method > 1:
+        raise CodecError("FLAC: reserved residual method")
+    param_bits = 4 + method
+    escape = (1 << param_bits) - 1
+    part_order = br.bits(4)
+    n_parts = 1 << part_order
+    if block_size % n_parts:
+        raise CodecError("FLAC: partition/block-size mismatch")
+    out: list[int] = []
+    for part in range(n_parts):
+        n = (block_size >> part_order) - (order if part == 0 else 0)
+        if n < 0:
+            raise CodecError("FLAC: negative partition length")
+        param = br.bits(param_bits)
+        if param == escape:
+            raw = br.bits(5)
+            if raw == 0:
+                out.extend([0] * n)
+            else:
+                out.extend(br.signed(raw) for _ in range(n))
+            continue
+        for _ in range(n):
+            q = br.unary()
+            val = (q << param) | br.bits(param) if param else q
+            out.append((val >> 1) ^ -(val & 1))
+    return out
+
+
+def _flac_subframe(
+    br: _FlacBits, block_size: int, sbits: int
+) -> np.ndarray:
+    if br.bits(1):
+        raise CodecError("FLAC: subframe padding bit set")
+    stype = br.bits(6)
+    wasted = 0
+    if br.bits(1):
+        wasted = br.unary() + 1
+    sbits -= wasted
+    if sbits <= 0:
+        raise CodecError("FLAC: wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        x = np.full(block_size, br.signed(sbits), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        x = np.fromiter(
+            (br.signed(sbits) for _ in range(block_size)),
+            dtype=np.int64, count=block_size,
+        )
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        if order > block_size:
+            raise CodecError("FLAC: fixed order exceeds block size")
+        warm = [br.signed(sbits) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        x = np.empty(block_size, dtype=np.int64)
+        x[:order] = warm
+        coeffs = _FIXED_COEFFS[order]
+        xs = x.tolist()  # python ints: the recurrence is sequential
+        for i in range(order, block_size):
+            xs[i] = res[i - order] + sum(
+                c * xs[i - 1 - j] for j, c in enumerate(coeffs)
+            )
+        x = np.asarray(xs, dtype=np.int64)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 0x1F) + 1
+        if order > block_size:
+            raise CodecError("FLAC: LPC order exceeds block size")
+        warm = [br.signed(sbits) for _ in range(order)]
+        prec = br.bits(4)
+        if prec == 15:
+            raise CodecError("FLAC: invalid LPC precision")
+        prec += 1
+        shift = br.signed(5)
+        if shift < 0:
+            raise CodecError("FLAC: negative LPC shift")
+        coeffs = [br.signed(prec) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        xs = warm + [0] * (block_size - order)
+        for i in range(order, block_size):
+            acc = 0
+            for j, c in enumerate(coeffs):
+                acc += c * xs[i - 1 - j]
+            xs[i] = res[i - order] + (acc >> shift)
+        x = np.asarray(xs, dtype=np.int64)
+    else:
+        raise CodecError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        x <<= wasted
+    return x
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """(mono float32 samples in [-1, 1], sample_rate) from a native FLAC
+    stream — CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice
+    residuals, all four channel assignments. Multi-channel input is
+    mixed to mono (mean), mirroring ``wav_pcm_decode``."""
+    if data[:4] != b"fLaC":
+        raise CodecError("not a FLAC stream")
+    pos = 4
+    rate = channels = bits = None
+    total = 0
+    while True:
+        if pos + 4 > len(data):
+            raise CodecError("FLAC: truncated metadata")
+        header = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if header & 0x7F == 0:  # STREAMINFO
+            if length < 34:
+                raise CodecError("FLAC: short STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        pos += 4 + length
+        if header & 0x80:
+            break
+    if not rate:
+        raise CodecError("FLAC: no STREAMINFO")
+    if pos >= len(data):
+        # metadata-only stream (no audio frames): legal, zero samples
+        return np.zeros(0, dtype=np.float32), int(rate)
+
+    br = _FlacBits(data[pos:])
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    n_out = 0
+    while br.pos + 32 <= len(br.s) and (total == 0 or n_out < total):
+        if br.bits(14) != 0b11111111111110:
+            raise CodecError("FLAC: lost frame sync")
+        br.bits(1)  # reserved
+        br.bits(1)  # blocking strategy
+        bs_code = br.bits(4)
+        rate_code = br.bits(4)
+        chan_code = br.bits(4)
+        size_code = br.bits(3)
+        br.bits(1)  # reserved
+        br.utf8_number()
+        if bs_code == 0:
+            raise CodecError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            block_size = br.bits(8) + 1
+        elif bs_code == 7:
+            block_size = br.bits(16) + 1
+        else:
+            block_size = _FLAC_BLOCK_SIZES[bs_code]
+        if rate_code == 12:
+            br.bits(8)
+        elif rate_code in (13, 14):
+            br.bits(16)
+        elif rate_code == 15:
+            raise CodecError("FLAC: invalid sample rate code")
+        fbits = _FLAC_SAMPLE_SIZES.get(size_code, bits)
+        br.bits(8)  # header CRC-8 (integrity is pinned by tests)
+        if chan_code < 8:
+            n_ch = chan_code + 1
+            if n_ch != channels:
+                raise CodecError("FLAC: frame/STREAMINFO channel mismatch")
+            sub = [
+                _flac_subframe(br, block_size, fbits) for _ in range(n_ch)
+            ]
+        elif chan_code in (8, 9, 10):
+            if channels != 2:
+                raise CodecError("FLAC: stereo decorrelation on non-stereo")
+            side_first = chan_code == 9
+            a = _flac_subframe(br, block_size, fbits + (1 if side_first else 0))
+            b = _flac_subframe(br, block_size, fbits + (0 if side_first else 1))
+            if chan_code == 8:  # left/side
+                left, side = a, b
+                right = left - side
+            elif chan_code == 9:  # side/right
+                side, right = a, b
+                left = side + right
+            else:  # mid/side
+                mid, side = a, b
+                mid = (mid << 1) | (side & 1)
+                left = (mid + side) >> 1
+                right = (mid - side) >> 1
+            sub = [left, right]
+        else:
+            raise CodecError("FLAC: reserved channel assignment")
+        br.align()
+        br.bits(16)  # frame CRC-16
+        for c in range(channels):
+            chans[c].append(sub[c])
+        n_out += block_size
+    if not n_out:
+        return np.zeros(0, dtype=np.float32), int(rate)
+    stacked = np.stack([np.concatenate(c) for c in chans])
+    if total:
+        stacked = stacked[:, :total]
+    mono = stacked.mean(axis=0) / float(1 << (bits - 1))
+    return mono.astype(np.float32), int(rate)
+
+
+class _MsbWriter:
+    """MSB-first bit writer (no byte stuffing — FLAC, unlike JPEG)."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _rice_param(res: np.ndarray) -> int:
+    """Standard mean-based Rice parameter estimate."""
+    if not res.size:
+        return 0
+    mean = float(np.abs(res).mean())
+    p = 0
+    while (1 << (p + 1)) < mean + 1 and p < 14:
+        p += 1
+    return p
+
+
+def _encode_subframe(
+    w: _MsbWriter, x: np.ndarray, sbits: int, order: int
+) -> None:
+    if np.all(x == x[0]) if x.size else True:
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)  # CONSTANT
+        w.put(int(x[0]) if x.size else 0, sbits)
+        return
+    order = min(order, max(0, len(x) - 1))
+    w.put(0, 1)
+    w.put(8 + order, 6)  # FIXED
+    w.put(0, 1)  # no wasted bits
+    for v in x[:order]:
+        w.put(int(v), sbits)
+    res = x.astype(np.int64)
+    for _ in range(order):
+        res = np.diff(res)
+    res = res[: len(x) - order] if order else res
+    param = _rice_param(res)
+    w.put(0, 2)   # residual method 0 (4-bit Rice)
+    w.put(0, 4)   # partition order 0
+    zig = np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+    if param >= 15 or (zig >> param).sum() > 8 * len(zig) + 4096:
+        raw = int(max(1, (np.abs(res).max() if res.size else 0)).bit_length()) + 1
+        w.put(15, 4)
+        w.put(raw, 5)
+        for v in res:
+            w.put(int(v), raw)
+        return
+    w.put(param, 4)
+    for v in zig:
+        q = int(v) >> param
+        w.put(0, q)
+        w.put(1, 1)
+        if param:
+            w.put(int(v), param)
+
+
+def flac_encode(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    *,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    fixed_order: int = 2,
+) -> bytes:
+    """Native FLAC from int16 PCM (mono ``(n,)`` or planar ``(ch, n)``).
+    Emits CONSTANT / FIXED-order subframes with single-partition Rice
+    residuals; ``stereo_mode`` selects the channel decorrelation
+    (independent / left-side / right-side / mid-side) so every decoder
+    reconstruction path round-trips under test."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[None, :]
+    channels, n = x.shape
+    if channels > 8:
+        raise CodecError("FLAC: too many channels")
+    if stereo_mode != "independent" and channels != 2:
+        raise CodecError("FLAC: stereo_mode needs 2 channels")
+    bits = 16
+    packed = (
+        (sample_rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n
+    )
+    si = (
+        struct.pack(">HH", min(block_size, n or 16), min(block_size, n or 16))
+        + b"\x00" * 6
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+    chan_code = {
+        "independent": channels - 1,
+        "left-side": 8,
+        "right-side": 9,
+        "mid-side": 10,
+    }.get(stereo_mode)
+    if chan_code is None:
+        raise CodecError(f"FLAC: unknown stereo_mode {stereo_mode!r}")
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = x[:, start : start + block_size]
+        bs = blk.shape[1]
+        w = _MsbWriter()
+        w.put(0b11111111111110, 14)
+        w.put(0, 1)
+        w.put(0, 1)          # fixed blocking
+        w.put(7, 4)          # 16-bit explicit block size
+        w.put(0, 4)          # rate: from STREAMINFO
+        w.put(chan_code, 4)
+        w.put(4, 3)          # 16-bit samples
+        w.put(0, 1)
+        header = w  # continue writing into the same stream
+        for byte in _utf8_number(frame_no):
+            header.put(byte, 8)
+        header.put(bs - 1, 16)
+        header.align()
+        hdr_bytes = header.bytes()
+        crc8 = _crc8(hdr_bytes)
+        body = _MsbWriter()
+        if stereo_mode == "independent":
+            planes = [blk[c] for c in range(channels)]
+            sbits = [bits] * channels
+        elif stereo_mode == "left-side":
+            planes = [blk[0], blk[0] - blk[1]]
+            sbits = [bits, bits + 1]
+        elif stereo_mode == "right-side":
+            planes = [blk[0] - blk[1], blk[1]]
+            sbits = [bits + 1, bits]
+        else:  # mid-side
+            side = blk[0] - blk[1]
+            mid = (blk[0] + blk[1]) >> 1
+            planes = [mid, side]
+            sbits = [bits, bits + 1]
+        for plane, sb in zip(planes, sbits):
+            _encode_subframe(body, plane, sb, fixed_order)
+        body.align()
+        frame_wo_crc = hdr_bytes + bytes([crc8]) + body.bytes()
+        out += frame_wo_crc + struct.pack(">H", _crc16(frame_wo_crc))
+        frame_no += 1
+    return bytes(out)

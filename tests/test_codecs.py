@@ -346,3 +346,133 @@ def test_jpeg_grayscale_single_component():
     out = c.jpeg_decode(c.jpeg_encode(g, 95))
     spread = out.astype(int).max(axis=2) - out.astype(int).min(axis=2)
     assert spread.max() <= 6
+
+
+# --------------------------------------------------------------- FLAC ----
+
+
+def _tone(n, rate, channels=1, seed=0):
+    from rika_ray.docgen import tone_samples
+
+    return tone_samples(n, rate, channels, seed=seed)
+
+
+def test_flac_mono_roundtrip_lossless():
+    from rika_ray.stages.codecs import flac_decode, flac_encode
+
+    pcm = _tone(8000, 16000, 1, seed=1)
+    blob = flac_encode(pcm, 16000)
+    mono, rate = flac_decode(blob)
+    assert rate == 16000
+    ref = (pcm[0].astype(np.float64) / 32768).astype(np.float32)
+    assert mono.shape == ref.shape
+    assert np.abs(mono - ref).max() == 0.0
+    # Rice coding actually compresses the tone
+    assert len(blob) < pcm.nbytes
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left-side", "right-side", "mid-side"]
+)
+def test_flac_stereo_modes_roundtrip(mode):
+    from rika_ray.stages.codecs import flac_decode, flac_encode
+
+    pcm = _tone(7001, 16000, 2, seed=3)  # odd length, multi-frame
+    blob = flac_encode(pcm, 16000, stereo_mode=mode, block_size=1024)
+    mono, rate = flac_decode(blob)
+    ref = pcm.astype(np.float64).mean(axis=0) / 32768
+    assert np.abs(mono - ref).max() == 0.0
+
+
+def test_flac_constant_and_escape_paths():
+    from rika_ray.stages.codecs import flac_decode, flac_encode
+
+    flat = np.full((1, 5000), -123, np.int16)
+    mono, _ = flac_decode(flac_encode(flat, 8000))
+    assert np.all(mono == np.float32(-123 / 32768))
+    # full-scale noise forces the raw-residual escape in some partitions
+    rng = np.random.RandomState(11)
+    loud = rng.randint(-32768, 32767, (1, 4096)).astype(np.int16)
+    mono, _ = flac_decode(flac_encode(loud, 8000, fixed_order=0))
+    assert np.abs(mono - loud[0] / 32768).max() == 0.0
+
+
+def test_flac_lpc_subframe_handcrafted():
+    """The encoder never emits LPC; pin the decoder's LPC reconstruction
+    (warmup + quantized-coefficient recurrence + arithmetic shift) with a
+    hand-built stream."""
+    from rika_ray.stages.codecs import (
+        _crc8,
+        _crc16,
+        _MsbWriter,
+        _utf8_number,
+        flac_decode,
+    )
+
+    rate, n, bits = 8000, 64, 16
+    c0, c1, shift, prec = 3, -2, 1, 4
+    rng = np.random.RandomState(3)
+    res = rng.randint(-20, 20, n - 2)
+    x = [100, -50]
+    for i in range(2, n):
+        x.append(int(res[i - 2]) + ((c0 * x[i - 1] + c1 * x[i - 2]) >> shift))
+    packed = (rate << 44) | (0 << 41) | ((bits - 1) << 36) | n
+    si = (
+        struct.pack(">HH", n, n)
+        + b"\x00" * 6
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+    w = _MsbWriter()
+    w.put(0b11111111111110, 14)
+    w.put(0, 2)
+    w.put(7, 4); w.put(0, 4); w.put(0, 4); w.put(4, 3); w.put(0, 1)
+    for byte in _utf8_number(0):
+        w.put(byte, 8)
+    w.put(n - 1, 16)
+    w.align()
+    hdr = w.bytes()
+    b = _MsbWriter()
+    b.put(0, 1); b.put(32 + (2 - 1), 6); b.put(0, 1)  # LPC order 2
+    b.put(x[0], bits); b.put(x[1], bits)
+    b.put(prec - 1, 4); b.put(shift, 5)
+    b.put(c0, prec); b.put(c1, prec)
+    b.put(0, 2); b.put(0, 4)
+    param = 5
+    b.put(param, 4)
+    for v in res:
+        z = (int(v) << 1) if v >= 0 else ((-int(v) << 1) - 1)
+        b.put(0, z >> param); b.put(1, 1); b.put(z, param)
+    b.align()
+    frame = hdr + bytes([_crc8(hdr)]) + b.bytes()
+    out += frame + struct.pack(">H", _crc16(frame))
+    mono, r = flac_decode(bytes(out))
+    assert r == rate
+    assert np.abs(mono - np.asarray(x, np.float64) / 32768).max() == 0.0
+
+
+def test_flac_metadata_only_and_errors():
+    from rika_ray.docgen import build_flac
+    from rika_ray.stages.codecs import CodecError, flac_decode, flac_encode
+
+    # STREAMINFO-only stream (the old metadata fixture): zero samples
+    mono, rate = flac_decode(build_flac(44100, 2, 16, 44100))
+    assert mono.size == 0 and rate == 44100
+    with pytest.raises(CodecError):
+        flac_decode(b"fLaX" + b"\x00" * 40)
+    blob = flac_encode(_tone(3000, 8000, 1, seed=2), 8000)
+    with pytest.raises(CodecError):
+        flac_decode(blob[: len(blob) - 40])  # truncated mid-frame
+
+
+def test_decode_audio_dispatches_flac_and_wav():
+    from rika_ray.docgen import build_flac_pcm, build_wav
+    from rika_ray.pipelines.multimodal import decode_audio
+
+    pcm = _tone(4000, 8000, 1, seed=9)
+    ref = (pcm[0].astype(np.float64) / 32768).astype(np.float32)
+    got_flac = decode_audio(build_flac_pcm(pcm, 8000))
+    got_wav = decode_audio(build_wav(8000, 1, 16, samples=pcm))
+    assert np.abs(got_flac - ref).max() == 0.0
+    assert np.abs(got_wav - ref).max() == 0.0

@@ -183,3 +183,40 @@ def test_decode_image_real_pil_branch():
     assert media == "image/png"
     assert pixels.shape == (1, 2, 3)
     assert np.array_equal(pixels, ref)
+
+
+def test_audio_frame_pipeline_real_decodes(ray_session, tmp_path):
+    """End-to-end audio pipeline over a corpus slice: wav + flac rows are
+    decoded for REAL (format-tagged, no error), compressed formats fall
+    back to the stub but still produce frame rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rika_ray import docgen
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import audio_frame_pipeline, frame_sample
+    from rika_ray.stages.codecs import flac_decode
+
+    pcm = docgen.tone_samples(12000, 8000, 2, seed=4)
+    flac = docgen.build_flac_pcm(pcm, 8000, stereo_mode="mid-side")
+    wav = docgen.build_wav(8000, 2, 16, samples=pcm)
+    rows = {
+        "url": ["f", "w", "h"],
+        "warc_ts": [None] * 3,
+        "html": pa.array([flac, wav, b"<html>x</html>"], pa.large_binary()),
+        "text": [None] * 3,
+        "lang": [None] * 3,
+    }
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.table(rows), path)
+    out = {r["url"]: r for r in
+           audio_frame_pipeline(read_web_pages(path)).take_all()}
+    assert set(out) == {"f", "w"}  # the html row never enters the pool
+    assert out["f"]["format"] == "audio/x-flac"
+    assert out["w"]["format"] == "audio/vnd.wave"
+    assert out["f"]["error"] is None and out["w"]["error"] is None
+    # identical PCM through either container -> identical features
+    assert out["f"]["n_frames"] == out["w"]["n_frames"]
+    assert out["f"]["mean_energy"] == out["w"]["mean_energy"]
+    expected_frames = frame_sample(flac_decode(flac)[0]).shape[0]
+    assert out["f"]["n_frames"] == expected_frames

@@ -13,6 +13,8 @@ pipeline run, so the oracles are independent of the code under test:
 - ``in_warc`` — whether the row survives the WARC round trip (rows with
   an empty/absent payload never become WARC records);
 - ``img_mean_r/g/b`` — decoded-pixel channel means at the 16×16 resize
+- ``audio_n_frames`` / ``audio_energy`` — decoded-PCM frame count + mean
+  frame energy for the real-codec audio fixtures (WAV, FLAC)
   target, computed from the generator's SOURCE pixel arrays (real-codec
   formats only; null elsewhere).
 
@@ -70,6 +72,8 @@ def golden_table(n_per_family: int = SF001_N_PER_FAMILY) -> pa.Table:
             "img_mean_r": expected["img_mean_r"],
             "img_mean_g": expected["img_mean_g"],
             "img_mean_b": expected["img_mean_b"],
+            "audio_n_frames": expected["audio_n_frames"],
+            "audio_energy": expected["audio_energy"],
         }
     )
     return t.sort_by([("url", "ascending"), ("content_md5", "ascending")])
