@@ -126,12 +126,35 @@ def _q_extract_error_tally(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
+    import math
+
+    import pyarrow as pa
+
     from rika_ray.pipelines.extraction import read_web_pages
     from rika_ray.pipelines.multimodal import image_feature_pipeline
 
     corpus = _corpus_path(sf_dir)
     ds = read_web_pages(f"{corpus}/web_pages.parquet")
-    return image_feature_pipeline(ds, target_size=(16, 16)).sort("url")
+
+    def _dense(batch: pa.Table) -> pa.Table:
+        # error rows (pixel-less header stubs the real codecs refuse)
+        # carry null embeddings; surface them as NaN vectors so the
+        # driver's to_pandas tensor cast sees a uniform column
+        emb = batch["embedding"].to_pylist()
+        n = max((len(e) for e in emb if e is not None), default=11)
+        fill = [math.nan] * n
+        dense = [e if e is not None else fill for e in emb]
+        return batch.set_column(
+            batch.schema.get_field_index("embedding"),
+            "embedding",
+            pa.array(dense, pa.list_(pa.float32())),
+        )
+
+    return (
+        image_feature_pipeline(ds, target_size=(16, 16))
+        .map_batches(_dense, batch_format="pyarrow")
+        .sort("url")
+    )
 
 
 def _q_image_features_decoded(sf_dir: str):
@@ -159,6 +182,8 @@ def _q_image_features_decoded(sf_dir: str):
                     "image/gif",
                     "image/tiff",
                     "image/jpeg",
+                    "image/vnd.adobe.photoshop",
+                    "image/vnd.microsoft.icon",
                 ],
                 pa.string(),
             ),

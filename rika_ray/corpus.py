@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 28
+CORPUS_VERSION = 30
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -875,6 +875,42 @@ def generate_corpus(
             "Image Height": f"{psd_h} pixels",
             "Image Width": f"{psd_w} pixels",
         },
+    )
+    # real-pixel PSD composite (raw + PackBits-RLE image data) — decoded
+    # for real by the multimodal pipeline (stages/codecs.psd_decode)
+    for k in range(2):
+        pw, ph = 40 + 8 * k, 56 - 8 * k
+        psd_src = docgen.gradient_pixels(ph, pw, seed=61 + k)
+        b.add(
+            "psd-pixels",
+            docgen.build_psd_pixels(psd_src, rle=bool(k)),
+            content="",
+            content_type="image/vnd.adobe.photoshop",
+            media_type="image/vnd.adobe.photoshop",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "Image Height": f"{ph} pixels",
+                "Image Width": f"{pw} pixels",
+            },
+            img_means=_image_golden_means(psd_src),
+        )
+    # real-pixel ICO (32-bit BMP-DIB entry) — decoded for real
+    # (stages/codecs.ico_decode)
+    ico_src = docgen.gradient_pixels(32, 32, seed=77)
+    b.add(
+        "ico-pixels",
+        docgen.build_ico_pixels(ico_src),
+        content="",
+        content_type="image/vnd.microsoft.icon",
+        media_type="image/vnd.microsoft.icon",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": "32 pixels",
+            "Image Width": "32 pixels",
+        },
+        img_means=_image_golden_means(ico_src),
     )
 
     # --- eml / mbox: RFC 5322 mail (Tika RFC822Parser / MboxParser

@@ -1595,6 +1595,23 @@ def build_psd(width: int, height: int) -> bytes:
     )
 
 
+def build_psd_pixels(pixels: "object", rle: bool = True) -> bytes:
+    """A REAL PSD with composite image data — thin wrapper over the
+    engine codec (``rika_ray.stages.codecs.psd_encode``), like the
+    PNG/JPEG/FLAC builders."""
+    from rika_ray.stages.codecs import psd_encode
+
+    return psd_encode(pixels, rle=rle)
+
+
+def build_ico_pixels(pixels: "object") -> bytes:
+    """A REAL single-image ICO (32-bit BGRA DIB) — wrapper over the
+    engine codec (``rika_ray.stages.codecs.ico_encode``)."""
+    from rika_ray.stages.codecs import ico_encode
+
+    return ico_encode(pixels)
+
+
 def build_eml(
     subject: str,
     from_addr: str,

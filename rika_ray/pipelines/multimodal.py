@@ -9,10 +9,11 @@ the image/audio libraries are not in this container:
 - header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
 - pixel/PCM decode is REAL for PNG (stdlib zlib + unfilter), baseline
   JPEG (pure-numpy Huffman + IDCT), GIF (LZW), baseline TIFF
-  (raw/PackBits strips), uncompressed BMP, and RIFF/WAVE PCM
-  (``rika_ray.stages.codecs``) — and for everything when PIL is
-  importable; only WebP/PSD/ICO pixels and compressed audio
-  (MP3/FLAC/Vorbis) use a clearly-marked deterministic fake otherwise;
+  (raw/PackBits strips), PSD composites (raw/PackBits planes), ICO
+  (BMP-DIB and PNG entries), uncompressed BMP, RIFF/WAVE PCM, and native
+  FLAC (Rice + fixed/LPC predictors) (``rika_ray.stages.codecs``) — and
+  for everything when PIL is importable; only WebP pixels and MP3/Vorbis
+  audio use a clearly-marked deterministic fake otherwise;
 - resize / feature-extract / frame-sample are REAL numpy math over the
   decoded arrays (they work identically on fake or real pixels).
 
@@ -88,7 +89,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     # JPEG, GIF, baseline TIFF, uncompressed BMP. A CodecError from a
     # truncated/unsupported file propagates — ImageDecodeStage turns it
     # into an error row (§2.8), exactly like a real codec library would.
-    # The deterministic fake only remains for WebP/PSD/ICO pixels.
+    # The deterministic fake only remains for WebP pixels.
     from rika_ray.stages import codecs
 
     real = {
@@ -97,6 +98,8 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         "image/jpeg": codecs.jpeg_decode,
         "image/gif": codecs.gif_decode,
         "image/tiff": codecs.tiff_decode,
+        "image/vnd.adobe.photoshop": codecs.psd_decode,
+        "image/vnd.microsoft.icon": codecs.ico_decode,
     }.get(media)
     if real is not None:
         return real(payload), media

@@ -1724,3 +1724,163 @@ def flac_encode(
         out += frame_wo_crc + struct.pack(">H", _crc16(frame_wo_crc))
         frame_no += 1
     return bytes(out)
+
+
+# ---------------------------------------------------------------- PSD ----
+# Adobe Photoshop per the public PSD spec: 26-byte header, four length-
+# prefixed sections, then the image-data section — planar channels,
+# either raw or RLE rows (the RLE is PackBits, shared with the TIFF
+# path above). 8-bit RGB and grayscale composites.
+
+
+def psd_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from the PSD composite image-data section
+    (depth 8, RGB or grayscale, raw or PackBits-RLE)."""
+    if data[:4] != b"8BPS" or len(data) < 26:
+        raise CodecError("not a PSD file")
+    version = int.from_bytes(data[4:6], "big")
+    if version != 1:
+        raise CodecError(f"PSD: unsupported version {version}")
+    channels = int.from_bytes(data[12:14], "big")
+    h = int.from_bytes(data[14:18], "big")
+    w = int.from_bytes(data[18:22], "big")
+    depth = int.from_bytes(data[22:24], "big")
+    mode = int.from_bytes(data[24:26], "big")
+    if depth != 8:
+        raise CodecError(f"PSD: unsupported depth {depth}")
+    if mode not in (1, 3):  # grayscale, RGB
+        raise CodecError(f"PSD: unsupported color mode {mode}")
+    pos = 26
+    for _section in range(3):  # color mode data, resources, layers
+        if pos + 4 > len(data):
+            raise CodecError("PSD: truncated section table")
+        pos += 4 + int.from_bytes(data[pos : pos + 4], "big")
+    if pos + 2 > len(data):
+        raise CodecError("PSD: missing image data section")
+    compression = int.from_bytes(data[pos : pos + 2], "big")
+    pos += 2
+    n_use = min(channels, 3)
+    planes: list[np.ndarray] = []
+    if compression == 0:  # raw planar
+        need = channels * h * w
+        if len(data) - pos < need:
+            raise CodecError("PSD: truncated raw image data")
+        for c in range(n_use):
+            start = pos + c * h * w
+            planes.append(
+                np.frombuffer(data, np.uint8, h * w, start).reshape(h, w)
+            )
+    elif compression == 1:  # RLE: per-row byte counts, then PackBits rows
+        n_rows = channels * h
+        counts = np.frombuffer(data, ">u2", n_rows, pos)
+        pos += 2 * n_rows
+        offsets = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if pos + int(offsets[-1]) > len(data):
+            raise CodecError("PSD: truncated RLE image data")
+        for c in range(n_use):
+            rows = []
+            for y in range(h):
+                i = c * h + y
+                blob = data[pos + int(offsets[i]) : pos + int(offsets[i + 1])]
+                rows.append(_packbits_decode(blob, w))
+            planes.append(
+                np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
+            )
+    else:
+        raise CodecError(f"PSD: unsupported compression {compression}")
+    if mode == 1 or n_use == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2).copy()
+    return np.stack(planes[:3], axis=2)
+
+
+def psd_encode(pixels: np.ndarray, rle: bool = True) -> bytes:
+    """A real PSD (version 1, 8-bit RGB) from (H, W, 3) uint8 — planar
+    composite image data, PackBits-RLE by default."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    head = (
+        b"8BPS"
+        + (1).to_bytes(2, "big")
+        + b"\x00" * 6
+        + (3).to_bytes(2, "big")
+        + h.to_bytes(4, "big")
+        + w.to_bytes(4, "big")
+        + (8).to_bytes(2, "big")
+        + (3).to_bytes(2, "big")
+        + b"\x00" * 12  # empty color-mode / resource / layer sections
+    )
+    if not rle:
+        planar = px.transpose(2, 0, 1).tobytes()
+        return head + (0).to_bytes(2, "big") + planar
+    rows = [
+        _packbits_encode(px[y, :, c].tobytes())
+        for c in range(3)
+        for y in range(h)
+    ]
+    counts = b"".join(len(r).to_bytes(2, "big") for r in rows)
+    return head + (1).to_bytes(2, "big") + counts + b"".join(rows)
+
+
+# ---------------------------------------------------------------- ICO ----
+# Windows icon per the public ICO format: ICONDIR + ICONDIRENTRY table,
+# each image either a PNG stream or a BMP DIB whose BITMAPINFOHEADER
+# height covers the XOR pixel plane PLUS the 1-bpp AND mask. Shares the
+# bottom-up padded-row logic with the BMP path above.
+
+
+def ico_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from the FIRST image of an ICO: PNG-compressed
+    entries delegate to ``png_decode``; BMP DIB entries decode the 24/32-
+    bit XOR plane (the AND mask is parsed past, not composited — rika's
+    Tika-side convention reads icons as opaque raster)."""
+    if len(data) < 22 or data[:4] != b"\x00\x00\x01\x00":
+        raise CodecError("not an ICO file")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count < 1:
+        raise CodecError("ICO: empty directory")
+    size, off = struct.unpack("<II", data[14:22])
+    if off + size > len(data) or size < 8:
+        raise CodecError("ICO: truncated image payload")
+    blob = data[off : off + size]
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(blob)
+    dib, w, h2, _planes, bpp, comp = struct.unpack("<IiiHHI", blob[:20])
+    if dib < 40 or comp != 0:
+        raise CodecError(f"ICO: unsupported DIB (dib={dib}, comp={comp})")
+    if bpp not in (24, 32):
+        raise CodecError(f"ICO: unsupported bpp {bpp}")
+    h = abs(h2) // 2  # header height spans XOR plane + AND mask
+    if h == 0:
+        raise CodecError("ICO: zero-height image")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if dib + stride * h > len(blob):
+        raise CodecError("ICO: truncated XOR plane")
+    arr = np.frombuffer(blob[dib : dib + stride * h], dtype=np.uint8)
+    arr = arr.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    return arr[::-1, :, 2::-1].copy()  # bottom-up BGR(A) → RGB
+
+
+def ico_encode(pixels: np.ndarray) -> bytes:
+    """A real single-image ICO (32-bit BGRA DIB, opaque alpha, all-zero
+    AND mask) from (H, W, 3) uint8 RGB."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    if h > 256 or w > 256:
+        raise CodecError("ICO: image exceeds 256x256")
+    bgra = np.empty((h, w, 4), np.uint8)
+    bgra[:, :, :3] = px[:, :, ::-1]
+    bgra[:, :, 3] = 255
+    xor_rows = bgra[::-1].tobytes()  # 4-byte pixels: rows already aligned
+    mask_stride = ((w + 31) // 32) * 4
+    and_mask = b"\x00" * (mask_stride * h)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+        len(xor_rows) + len(and_mask), 0, 0, 0, 0,
+    )
+    img = dib + xor_rows + and_mask
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(img), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + img

@@ -476,3 +476,66 @@ def test_decode_audio_dispatches_flac_and_wav():
     got_wav = decode_audio(build_wav(8000, 1, 16, samples=pcm))
     assert np.abs(got_flac - ref).max() == 0.0
     assert np.abs(got_wav - ref).max() == 0.0
+
+
+# ---------------------------------------------------------------- PSD ----
+
+
+@pytest.mark.parametrize("rle", [True, False])
+def test_psd_roundtrip(rle):
+    from rika_ray.stages.codecs import psd_decode, psd_encode
+
+    px = _grad(33, 47, seed=8)
+    assert (psd_decode(psd_encode(px, rle=rle)) == px).all()
+
+
+def test_psd_run_heavy_rle():
+    from rika_ray.stages.codecs import psd_decode, psd_encode
+
+    px = np.zeros((20, 300, 3), np.uint8)
+    px[:, 150:, :] = 200  # long runs in every row -> RLE repeats
+    blob = psd_encode(px, rle=True)
+    assert len(blob) < px.nbytes // 4
+    assert (psd_decode(blob) == px).all()
+
+
+def test_psd_header_only_and_errors():
+    from rika_ray.docgen import build_psd
+    from rika_ray.stages.codecs import CodecError, psd_decode
+
+    with pytest.raises(CodecError):
+        psd_decode(build_psd(64, 48))  # legacy header-only fixture
+    with pytest.raises(CodecError):
+        psd_decode(b"8BPT" + b"\x00" * 30)
+
+
+# ---------------------------------------------------------------- ICO ----
+
+
+def test_ico_bmp_dib_roundtrip():
+    from rika_ray.stages.codecs import ico_decode, ico_encode
+
+    px = _grad(32, 48, seed=12)
+    assert (ico_decode(ico_encode(px)) == px).all()
+    big = _grad(256, 256, seed=1)  # entry w/h bytes wrap to 0 at 256
+    assert (ico_decode(ico_encode(big)) == big).all()
+
+
+def test_ico_png_entry():
+    from rika_ray.stages.codecs import ico_decode, png_encode
+
+    px = _grad(32, 48, seed=12)
+    blob = png_encode(px)
+    entry = struct.pack("<BBBBHHII", 48, 32, 0, 0, 1, 32, len(blob), 22)
+    ico = b"\x00\x00\x01\x00\x01\x00" + entry + blob
+    assert (ico_decode(ico) == px).all()
+
+
+def test_ico_stub_and_errors():
+    from rika_ray.docgen import build_ico
+    from rika_ray.stages.codecs import CodecError, ico_decode
+
+    with pytest.raises(CodecError):
+        ico_decode(build_ico(32, 32))  # legacy header-stub fixture
+    with pytest.raises(CodecError):
+        ico_decode(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 20)  # .cur
