@@ -75,6 +75,8 @@ def png_decode(data: bytes) -> np.ndarray:
         if len(body) != clen:
             raise CodecError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise CodecError("PNG: bad IHDR length")
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -434,6 +436,8 @@ def gif_decode(data: bytes) -> np.ndarray:
             pos += 3 * n
         if pal is None:
             raise CodecError("GIF: image without a color table")
+        if pos >= len(data):
+            raise CodecError("GIF: truncated before LZW data")
         min_code = data[pos]
         pos += 1
         if not 2 <= min_code <= 11:
@@ -539,10 +543,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
         e = ">"
     else:
         raise CodecError("not a TIFF")
+    if len(data) < 8:
+        raise CodecError("TIFF: truncated header")
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
     if ifd_off + 2 > len(data):
         raise CodecError("TIFF: bad IFD offset")
     (n_tags,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_tags > len(data):
+        raise CodecError("TIFF: truncated IFD")
     tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n_tags):
         off = ifd_off + 2 + 12 * i
@@ -1032,6 +1040,8 @@ def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
         for _ in range(bits[length - 1]):
             start = code << (16 - length)
             span = 1 << (16 - length)
+            if start + span > 65536:
+                raise CodecError("JPEG: invalid Huffman bit lengths")
             sym[start : start + span] = [vals[k]] * span
             ln[start : start + span] = [length] * span
             code += 1
@@ -1127,8 +1137,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(data):
+            raise CodecError("JPEG: truncated segment header")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + ln]
+        if not body and marker in (0xC0, 0xDA, 0xDD):
+            raise CodecError("JPEG: empty segment body")
         if marker == 0xDB:
             bp = 0
             while bp < len(body):
@@ -1147,6 +1161,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             while bp < len(body):
                 tc, th = body[bp] >> 4, body[bp] & 0x0F
                 bits = list(body[bp + 1 : bp + 17])
+                if len(bits) != 16:
+                    raise CodecError("JPEG: truncated DHT")
                 nv = sum(bits)
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 if len(vals) != nv:
@@ -1156,10 +1172,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xC0:
             if body[0] != 8:
                 raise CodecError("JPEG: only 8-bit precision supported")
+            if len(body) < 6:
+                raise CodecError("JPEG: truncated SOF0")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if nc not in (1, 3):
                 raise CodecError(f"JPEG: {nc}-component images unsupported")
+            if len(body) < 6 + 3 * nc:
+                raise CodecError("JPEG: truncated SOF0")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 if samp != 0x11:
@@ -1175,6 +1195,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ns = body[0]
             if ns != len(comps):
                 raise CodecError("JPEG: partial scans unsupported")
+            if len(body) < 2 + 2 * ns:
+                raise CodecError("JPEG: truncated SOS")
             for i in range(ns):
                 td_ta = body[2 + 2 * i]
                 scan_map.append((td_ta >> 4, td_ta & 0x0F))
@@ -1432,7 +1454,10 @@ def _flac_subframe(
             xs[i] = res[i - order] + sum(
                 c * xs[i - 1 - j] for j, c in enumerate(coeffs)
             )
-        x = np.asarray(xs, dtype=np.int64)
+        try:
+            x = np.asarray(xs, dtype=np.int64)
+        except OverflowError:
+            raise CodecError("FLAC: sample values out of range") from None
     elif stype >= 32:  # LPC, order = (stype & 31) + 1
         order = (stype & 0x1F) + 1
         if order > block_size:
@@ -1453,7 +1478,13 @@ def _flac_subframe(
             for j, c in enumerate(coeffs):
                 acc += c * xs[i - 1 - j]
             xs[i] = res[i - order] + (acc >> shift)
-        x = np.asarray(xs, dtype=np.int64)
+        try:
+            x = np.asarray(xs, dtype=np.int64)
+        except OverflowError:
+            # corrupt predictor coefficients make the recurrence diverge
+            # into Python bigints — a real decoder's clipped garbage; for
+            # this engine it is a typed parse failure
+            raise CodecError("FLAC: sample values out of range") from None
     else:
         raise CodecError(f"FLAC: reserved subframe type {stype}")
     if wasted:
@@ -1772,6 +1803,8 @@ def psd_decode(data: bytes) -> np.ndarray:
             )
     elif compression == 1:  # RLE: per-row byte counts, then PackBits rows
         n_rows = channels * h
+        if pos + 2 * n_rows > len(data):
+            raise CodecError("PSD: truncated RLE counts table")
         counts = np.frombuffer(data, ">u2", n_rows, pos)
         pos += 2 * n_rows
         offsets = np.zeros(n_rows + 1, np.int64)

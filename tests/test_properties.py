@@ -322,3 +322,63 @@ def test_tokenize_python_matches_arrow(s):
     if py:
         got = [t for t in toks.to_pylist()[0] if t]
         assert got == py
+
+
+@SETTINGS
+@given(st.binary(max_size=4096))
+def test_codecs_fail_typed_on_arbitrary_bytes(data):
+    """Every pixel/PCM decoder is total-with-typed-failure: arbitrary
+    bytes either decode or raise CodecError — never a stray
+    IndexError/struct.error/ValueError that would escape the pipeline's
+    §2.8 error-row contract as an untyped crash."""
+    from rika_ray.stages import codecs
+
+    for dec in (
+        codecs.png_decode,
+        codecs.bmp_decode,
+        codecs.jpeg_decode,
+        codecs.gif_decode,
+        codecs.tiff_decode,
+        codecs.psd_decode,
+        codecs.ico_decode,
+        codecs.wav_pcm_decode,
+        codecs.flac_decode,
+    ):
+        try:
+            dec(data)
+        except codecs.CodecError:
+            pass
+
+
+@SETTINGS
+@given(st.binary(max_size=4096))
+def test_codecs_fail_typed_on_corrupted_valid_prefix(data):
+    """Same totality, but against the adversarial half-valid case: a real
+    encoded stream whose tail is replaced with fuzz — exercises the deep
+    per-format parse paths, not just the magic check."""
+    import numpy as np
+
+    from rika_ray import docgen
+    from rika_ray.stages import codecs
+
+    px = docgen.gradient_pixels(8, 8, seed=0)
+    pcm = docgen.tone_samples(500, 8000, 1, seed=0)
+    for blob, dec in (
+        (codecs.png_encode(px), codecs.png_decode),
+        (codecs.jpeg_encode(px), codecs.jpeg_decode),
+        (codecs.gif_encode(px), codecs.gif_decode),
+        (codecs.tiff_encode(px), codecs.tiff_decode),
+        (codecs.psd_encode(px), codecs.psd_decode),
+        (codecs.ico_encode(px), codecs.ico_decode),
+        (codecs.bmp_encode(px), codecs.bmp_decode),
+        (codecs.flac_encode(pcm, 8000), codecs.flac_decode),
+    ):
+        corrupt = blob[: max(12, len(blob) // 3)] + data
+        try:
+            out = dec(corrupt)
+        except codecs.CodecError:
+            continue
+        # a successful decode of a corrupted stream must still be
+        # well-shaped output, never garbage types
+        arr = out[0] if isinstance(out, tuple) else out
+        assert isinstance(arr, np.ndarray)
