@@ -158,11 +158,11 @@ def _q_image_features(sf_dir: str):
 
 
 def _q_image_features_decoded(sf_dir: str):
-    """Channel means of the REAL-codec image decodes (PNG/BMP/GIF/TIFF/
-    JPEG) vs generator-computed ground truth in the golden table: pins
-    the whole decode → resize → feature path at the driver level. Only
-    the formats without a pure-Python decoder (WebP/PSD/ICO, fake
-    pixels) stay in the rows-only ``image_features`` query."""
+    """Channel means of the REAL-codec image decodes — every raster
+    format (PNG/BMP/GIF/TIFF/JPEG/PSD/ICO/lossless WebP) — vs
+    generator-computed ground truth in the golden table: pins the whole
+    decode → resize → feature path at the driver level. The rows-only
+    ``image_features`` query keeps the full output incl. error rows."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -184,6 +184,7 @@ def _q_image_features_decoded(sf_dir: str):
                     "image/jpeg",
                     "image/vnd.adobe.photoshop",
                     "image/vnd.microsoft.icon",
+                    "image/webp",
                 ],
                 pa.string(),
             ),

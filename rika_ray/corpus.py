@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 30
+CORPUS_VERSION = 31
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -911,6 +911,23 @@ def generate_corpus(
             "Image Width": "32 pixels",
         },
         img_means=_image_golden_means(ico_src),
+    )
+    # real-pixel lossless WebP (VP8L) — decoded for real
+    # (stages/codecs.vp8l_decode)
+    webp_src = docgen.gradient_pixels(40, 44, seed=83)
+    b.add(
+        "webp-pixels",
+        docgen.build_webp_lossless(webp_src),
+        content="",
+        content_type="image/webp",
+        media_type="image/webp",
+        charset=None,
+        language=None,
+        extra_metadata={
+            "Image Height": "40 pixels",
+            "Image Width": "44 pixels",
+        },
+        img_means=_image_golden_means(webp_src),
     )
 
     # --- eml / mbox: RFC 5322 mail (Tika RFC822Parser / MboxParser

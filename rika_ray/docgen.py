@@ -1612,6 +1612,14 @@ def build_ico_pixels(pixels: "object") -> bytes:
     return ico_encode(pixels)
 
 
+def build_webp_lossless(pixels: "object") -> bytes:
+    """A REAL lossless WebP (VP8L) — wrapper over the engine codec
+    (``rika_ray.stages.codecs.vp8l_encode``)."""
+    from rika_ray.stages.codecs import vp8l_encode
+
+    return vp8l_encode(pixels)
+
+
 def build_eml(
     subject: str,
     from_addr: str,

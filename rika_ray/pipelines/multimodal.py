@@ -7,13 +7,14 @@ is real and tested; the *codec* step is stubbed deterministically because
 the image/audio libraries are not in this container:
 
 - header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
-- pixel/PCM decode is REAL for PNG (stdlib zlib + unfilter), baseline
-  JPEG (pure-numpy Huffman + IDCT), GIF (LZW), baseline TIFF
-  (raw/PackBits strips), PSD composites (raw/PackBits planes), ICO
-  (BMP-DIB and PNG entries), uncompressed BMP, RIFF/WAVE PCM, and native
-  FLAC (Rice + fixed/LPC predictors) (``rika_ray.stages.codecs``) — and
-  for everything when PIL is importable; only WebP pixels and MP3/Vorbis
-  audio use a clearly-marked deterministic fake otherwise;
+- pixel/PCM decode is REAL for every raster format — PNG (stdlib zlib +
+  unfilter), baseline JPEG (pure-numpy Huffman + IDCT), GIF (LZW),
+  baseline TIFF (raw/PackBits strips), lossless WebP (VP8L prefix codes
+  + LZ77), PSD composites (raw/PackBits planes), ICO (BMP-DIB and PNG
+  entries), uncompressed BMP — and for RIFF/WAVE PCM and native FLAC
+  (Rice + fixed/LPC predictors) (``rika_ray.stages.codecs``); only
+  MP3/Vorbis audio uses a clearly-marked deterministic fake (or PIL /
+  a real audio lib when importable);
 - resize / feature-extract / frame-sample are REAL numpy math over the
   decoded arrays (they work identically on fake or real pixels).
 
@@ -46,15 +47,6 @@ except ImportError:
     HAVE_PIL = False
 
 
-def _fake_pixels(payload: bytes, height: int, width: int) -> np.ndarray:
-    """Deterministic FAKE decode: pixels seeded from the payload hash.
-    Stands in for the codec only — shape/dtype/layout match a real decode
-    (uint8 HxWx3)."""
-    seed = int(pd.util.hash_array(np.asarray([payload], dtype=object))[0]) & 0x7FFFFFFF
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
-
-
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """(pixels HxWx3 uint8, format). Header dims are parsed for real; the
     pixel decode is the stubbed step (see module docstring)."""
@@ -85,11 +77,11 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
         return np.asarray(img, dtype=np.uint8), media
-    # REAL pure-numpy decode (rika_ray.stages.codecs): PNG, baseline
-    # JPEG, GIF, baseline TIFF, uncompressed BMP. A CodecError from a
-    # truncated/unsupported file propagates — ImageDecodeStage turns it
-    # into an error row (§2.8), exactly like a real codec library would.
-    # The deterministic fake only remains for WebP pixels.
+    # REAL pure-numpy decode for EVERY supported raster format
+    # (rika_ray.stages.codecs). A CodecError from a truncated or
+    # unsupported-variant file (e.g. lossy-VP8 WebP, header-only PSD)
+    # propagates — ImageDecodeStage turns it into an error row (§2.8),
+    # exactly like a real codec library would.
     from rika_ray.stages import codecs
 
     real = {
@@ -98,12 +90,12 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         "image/jpeg": codecs.jpeg_decode,
         "image/gif": codecs.gif_decode,
         "image/tiff": codecs.tiff_decode,
+        "image/webp": codecs.vp8l_decode,
         "image/vnd.adobe.photoshop": codecs.psd_decode,
         "image/vnd.microsoft.icon": codecs.ico_decode,
-    }.get(media)
-    if real is not None:
-        return real(payload), media
-    return _fake_pixels(payload, h, w), media
+    }[media]
+    _ = (w, h)  # dims pre-parse keeps the typed not-an-image error first
+    return real(payload), media
 
 
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

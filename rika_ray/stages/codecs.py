@@ -1917,3 +1917,501 @@ def ico_encode(pixels: np.ndarray) -> bytes:
         "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(img), 22
     )
     return b"\x00\x00\x01\x00\x01\x00" + entry + img
+
+
+# --------------------------------------------------------------- VP8L ----
+# WebP lossless per the public VP8L bitstream spec (RFC 9649 /
+# developers.google.com/speed/webp/docs/webp_lossless_bitstream_
+# specification): LSB-first bit packing, canonical prefix codes (read
+# MSB-of-code first), the 5-code group (green+length+cache / red / blue
+# / alpha / distance), LZ77 backward references (1D distances),
+# optional color cache. The decoder rejects the
+# four pixel transforms (predictor / color / subtract-green / palette)
+# with a typed CodecError; the encoder never emits them. Spatially-coded
+# meta-prefix groups are likewise refused — one code group per image.
+
+
+_VP8L_CL_ORDER = [
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+]
+
+
+class _LsbBits:
+    """LSB-first bit reader (VP8L convention) over a bytes payload."""
+
+    __slots__ = ("val", "pos", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.val = int.from_bytes(data, "little")
+        self.pos = 0
+        self.n = 8 * len(data)
+
+    def bits(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise CodecError("VP8L: bitstream exhausted")
+        out = (self.val >> self.pos) & ((1 << k) - 1)
+        self.pos += k
+        return out
+
+
+class _PrefixCode:
+    """Canonical prefix code: decode one symbol by accumulating bits
+    MSB-of-code first (deflate-style canonical assignment)."""
+
+    __slots__ = ("table", "min_len", "max_len", "single")
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise CodecError("VP8L: empty prefix code")
+        if len(used) == 1:
+            # degenerate single-symbol code: consumes no bits
+            self.single = used[0][1]
+            self.table = {}
+            self.min_len = self.max_len = 0
+            return
+        self.single = None
+        # kraft check + canonical next-code assignment
+        counts: dict[int, int] = {}
+        for l, _s in used:
+            counts[l] = counts.get(l, 0) + 1
+        code = 0
+        next_code: dict[int, int] = {}
+        kraft = 0
+        max_len = max(counts)
+        for l in range(1, max_len + 1):
+            code = (code + counts.get(l - 1, 0)) << 1
+            next_code[l] = code
+            kraft += counts.get(l, 0) << (max_len - l)
+        if kraft != 1 << max_len:
+            raise CodecError("VP8L: incomplete prefix code")
+        table: dict[tuple[int, int], int] = {}
+        for l, s in sorted(used):
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+        self.table = table
+        self.min_len = min(counts)
+        self.max_len = max_len
+
+    def read(self, br: _LsbBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            length += 1
+            if length >= self.min_len:
+                sym = self.table.get((length, code))
+                if sym is not None:
+                    return sym
+            if length > self.max_len:
+                raise CodecError("VP8L: invalid prefix code word")
+
+
+def _vp8l_read_code(br: _LsbBits, alphabet_size: int) -> _PrefixCode:
+    if br.bits(1):  # simple code
+        n_syms = br.bits(1) + 1
+        if br.bits(1):  # first symbol is 8 bits
+            first = br.bits(8)
+        else:
+            first = br.bits(1)
+        lengths = [0] * alphabet_size
+        if first >= alphabet_size:
+            raise CodecError("VP8L: simple-code symbol out of range")
+        if n_syms == 2:
+            second = br.bits(8)
+            if second >= alphabet_size:
+                raise CodecError("VP8L: simple-code symbol out of range")
+            lengths[first] = 1
+            lengths[second] = 1
+        else:
+            lengths[first] = 1
+            # single-symbol degenerate code
+            code = _PrefixCode.__new__(_PrefixCode)
+            code.single = first
+            code.table = {}
+            code.min_len = code.max_len = 0
+            return code
+        return _PrefixCode(lengths)
+    num_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.bits(1):  # bounded number of coded symbols
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if sym < alphabet_size:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.bits(3)
+        else:  # 18
+            sym += 11 + br.bits(7)
+    return _PrefixCode(lengths)
+
+
+def _vp8l_prefix_value(br: _LsbBits, prefix_code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec: 4 slots per doubling)."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def vp8l_decode(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from a lossless WebP (VP8L chunk in a RIFF/WEBP
+    container, or a bare VP8L payload). Transform-free streams only —
+    the subset the sibling encoder emits; transformed streams raise."""
+    payload = data
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        pos = 12
+        payload = None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if tag == b"VP8L":
+                payload = data[pos + 8 : pos + 8 + clen]
+                break
+            pos += 8 + clen + (clen & 1)
+        if payload is None:
+            raise CodecError("WebP: no VP8L chunk (lossy VP8 unsupported)")
+    if not payload or payload[0] != 0x2F:
+        raise CodecError("VP8L: bad signature")
+    br = _LsbBits(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise CodecError("VP8L: unsupported version")
+    if br.bits(1):
+        raise CodecError("VP8L: pixel transforms unsupported")
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise CodecError("VP8L: bad color cache size")
+    if br.bits(1):
+        raise CodecError("VP8L: meta prefix groups unsupported")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_code = _vp8l_read_code(br, 256 + 24 + cache_size)
+    red_code = _vp8l_read_code(br, 256)
+    blue_code = _vp8l_read_code(br, 256)
+    alpha_code = _vp8l_read_code(br, 256)
+    dist_code = _vp8l_read_code(br, 40)
+    n = w * h
+    argb = np.zeros((n, 4), dtype=np.uint8)  # [a, r, g, b]
+    cache = [0] * cache_size
+    i = 0
+    while i < n:
+        s = green_code.read(br)
+        if s < 256:
+            g = s
+            r = red_code.read(br)
+            b = blue_code.read(br)
+            a = alpha_code.read(br)
+            argb[i] = (a, r, g, b)
+            if cache_size:
+                key = ((a << 24) | (r << 16) | (g << 8) | b) & 0xFFFFFFFF
+                cache[(0x1E35A7BD * key & 0xFFFFFFFF) >> (32 - cache_bits)] = key
+            i += 1
+        elif s < 280:
+            length = _vp8l_prefix_value(br, s - 256)
+            d_prefix = dist_code.read(br)
+            d = _vp8l_prefix_value(br, d_prefix)
+            if d > 120:
+                dist = d - 120
+            else:
+                # the 2D near-pixel distance map (codes 1-120) is an
+                # explicit 120-entry spec table; this subset decoder
+                # refuses it (typed) rather than risk mis-mapping — the
+                # sibling encoder always emits the dist+120 form
+                raise CodecError("VP8L: 2D distance codes unsupported")
+            if dist > i or i + length > n:
+                raise CodecError("VP8L: backward reference out of range")
+            for k in range(length):
+                argb[i + k] = argb[i + k - dist]
+                if cache_size:
+                    a, r, g, b = argb[i + k]
+                    key = (
+                        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+                    )
+                    cache[
+                        (0x1E35A7BD * key & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = key
+            i += length
+        else:
+            key = cache[s - 280]
+            argb[i] = (
+                (key >> 24) & 0xFF,
+                (key >> 16) & 0xFF,
+                (key >> 8) & 0xFF,
+                key & 0xFF,
+            )
+            i += 1
+    return argb[:, 1:4].reshape(h, w, 3).copy()
+
+
+class _LsbWriter:
+    """LSB-first bit writer (VP8L convention)."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self) -> None:
+        self.val = 0
+        self.pos = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.val |= (value & ((1 << length) - 1)) << self.pos
+        self.pos += length
+
+    def put_code(self, code: int, length: int) -> None:
+        # prefix-code words are read MSB-of-code first: emit accordingly
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return self.val.to_bytes((self.pos + 7) // 8, "little")
+
+
+def _limited_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Complete prefix-code lengths (Kraft sum exactly 1) for the used
+    symbols, all lengths <= limit. Huffman + clamp + Kraft repair."""
+    import heapq
+
+    used = sorted(s for s, f in freqs.items() if f > 0)
+    if not used:
+        raise CodecError("VP8L: no symbols to code")
+    if len(used) == 1:
+        return {used[0]: 1}
+    heap: list[tuple[int, list[int]]] = [(freqs[s], [s]) for s in used]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in used}
+    while len(heap) > 1:
+        f1, s1 = heapq.heappop(heap)
+        f2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, s1 + s2))
+    lengths = {s: min(l, limit) for s, l in lengths.items()}
+    target = 1 << limit
+    kraft = sum(1 << (limit - l) for l in lengths.values())
+    order = sorted(used, key=lambda s: (-lengths[s], freqs[s]))
+    while kraft > target:  # overfull: deepen the cheapest deepenable leaf
+        for s in order:
+            if lengths[s] < limit:
+                kraft -= 1 << (limit - lengths[s] - 1)
+                lengths[s] += 1
+                break
+        else:
+            raise CodecError("VP8L: cannot limit code lengths")
+        order = sorted(used, key=lambda s: (-lengths[s], freqs[s]))
+    while kraft < target:  # underfull: shallow the deepest leaf that fits
+        for s in sorted(used, key=lambda t: -lengths[t]):
+            gain = 1 << (limit - lengths[s])
+            if lengths[s] > 1 and kraft + gain <= target:
+                lengths[s] -= 1
+                kraft += gain
+                break
+        else:
+            raise CodecError("VP8L: cannot complete code")
+    return lengths
+
+
+def _canonical_code_table(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (shorter first,
+    ascending symbol) — the decoder's exact inverse."""
+    counts: dict[int, int] = {}
+    for l in lengths.values():
+        counts[l] = counts.get(l, 0) + 1
+    code = 0
+    next_code: dict[int, int] = {}
+    for l in range(1, max(counts) + 1):
+        code = (code + counts.get(l - 1, 0)) << 1
+        next_code[l] = code
+    table: dict[int, tuple[int, int]] = {}
+    for l, s in sorted((l, s) for s, l in lengths.items()):
+        table[s] = (next_code[l], l)
+        next_code[l] += 1
+    return table
+
+
+def _vp8l_write_code(
+    w: _LsbWriter, lengths: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Serialize one prefix code (simple form for <=2 symbols, else the
+    code-length-coded normal form) and return its encode table."""
+    used = sorted(lengths)
+    if len(used) <= 2 and max(used) < 256:
+        w.put(1, 1)                     # simple
+        w.put(len(used) - 1, 1)
+        w.put(1, 1)                     # first symbol in 8 bits
+        w.put(used[0], 8)
+        if len(used) == 2:
+            w.put(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    w.put(0, 1)                         # normal
+    # RLE the per-symbol lengths into code-length symbols (+ extra bits)
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    stream: list[tuple[int, int, int]] = []  # (cl_symbol, extra, extra_bits)
+    i = 0
+    while i < alphabet_size:
+        if full[i] == 0:
+            run = 1
+            while i + run < alphabet_size and full[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                rep = min(run, 138)
+                stream.append((18, rep - 11, 7))
+                run -= rep
+            while run >= 3:
+                rep = min(run, 10)
+                stream.append((17, rep - 3, 3))
+                run -= rep
+            for _ in range(run):
+                stream.append((0, 0, 0))
+        else:
+            stream.append((full[i], 0, 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for sym, _e, _b in stream:
+        cl_freqs[sym] = cl_freqs.get(sym, 0) + 1
+    cl_lengths = _limited_lengths(cl_freqs, 7)
+    cl_table = _canonical_code_table(cl_lengths)
+    if len(cl_lengths) == 1:
+        # single-symbol codes consume no bits on the decode side
+        cl_table = {next(iter(cl_lengths)): (0, 0)}
+    order_pos = {c: i for i, c in enumerate(_VP8L_CL_ORDER)}
+    num_cl = max(4, 1 + max(order_pos[s] for s in cl_lengths))
+    w.put(num_cl - 4, 4)
+    for i in range(num_cl):
+        w.put(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    w.put(0, 1)                          # no max-symbol prelude
+    for sym, extra, ebits in stream:
+        code, ln = cl_table[sym]
+        if ln == 0:
+            # degenerate single-symbol CL code consumes no bits
+            pass
+        else:
+            w.put_code(code, ln)
+        if ebits:
+            w.put(extra, ebits)
+    if len(lengths) == 1:
+        return {next(iter(lengths)): (0, 0)}
+    return _canonical_code_table(lengths)
+
+
+def _vp8l_prefix_encode(value: int) -> tuple[int, int, int]:
+    """Inverse of ``_vp8l_prefix_value``: value -> (code, extra, bits)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    e = x.bit_length() - 2
+    half = (x >> e) & 1
+    return 2 * e + 2 + half, x - ((2 + half) << e), e
+
+
+def vp8l_encode(pixels: np.ndarray) -> bytes:
+    """Lossless WebP (RIFF/WEBP/VP8L) from (H, W, 3) uint8: no
+    transforms, no color cache, one prefix-code group, literals plus
+    dist-1 LZ77 runs — exactly the subset ``vp8l_decode`` accepts."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, wd, _ = px.shape
+    if h > 16384 or wd > 16384:
+        raise CodecError("VP8L: image exceeds 16384x16384")
+    flat = px.reshape(-1, 3)
+    n = len(flat)
+    # tokenize: literals and runs of the previous pixel (distance 1)
+    same = np.zeros(n, dtype=bool)
+    if n > 1:
+        same[1:] = np.all(flat[1:] == flat[:-1], axis=1)
+    tokens: list[tuple[int, int]] = []  # (kind 0=lit,1=run, index|length)
+    g_freq: dict[int, int] = {}
+    r_freq: dict[int, int] = {}
+    b_freq: dict[int, int] = {}
+    i = 0
+    while i < n:
+        if same[i]:
+            run = 1
+            while i + run < n and same[i + run]:
+                run += 1
+            if run >= 4:
+                tokens.append((1, run))
+                code, _x, _b = _vp8l_prefix_encode(run)
+                g_freq[256 + code] = g_freq.get(256 + code, 0) + 1
+                i += run
+                continue
+        r, g, b = int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2])
+        tokens.append((0, i))
+        g_freq[g] = g_freq.get(g, 0) + 1
+        r_freq[r] = r_freq.get(r, 0) + 1
+        b_freq[b] = b_freq.get(b, 0) + 1
+        i += 1
+    has_runs = any(k == 1 for k, _ in tokens)
+    w = _LsbWriter()
+    w.put(wd - 1, 14)
+    w.put(h - 1, 14)
+    w.put(0, 1)                          # alpha hint
+    w.put(0, 3)                          # version
+    w.put(0, 1)                          # no transforms
+    w.put(0, 1)                          # no color cache
+    w.put(0, 1)                          # no meta prefix groups
+    g_table = _vp8l_write_code(w, _limited_lengths(g_freq, 15), 280)
+    r_table = _vp8l_write_code(w, _limited_lengths(r_freq or {0: 1}, 15), 256)
+    b_table = _vp8l_write_code(w, _limited_lengths(b_freq or {0: 1}, 15), 256)
+    a_table = _vp8l_write_code(w, {255: 1}, 256)      # constant alpha
+    # distance code: only ever dist 1 -> 1D form 1 + 120 = 121
+    d_code, d_extra, d_bits = _vp8l_prefix_encode(121)
+    d_table = _vp8l_write_code(
+        w, {d_code: 1} if has_runs else {0: 1}, 40
+    )
+    for kind, v in tokens:
+        if kind == 0:
+            r, g, b = (int(c) for c in flat[v])
+            code, ln = g_table[g]
+            w.put_code(code, ln)
+            code, ln = r_table[r]
+            if ln:
+                w.put_code(code, ln)
+            code, ln = b_table[b]
+            if ln:
+                w.put_code(code, ln)
+            code, ln = a_table[255]
+            if ln:
+                w.put_code(code, ln)
+        else:
+            lcode, lextra, lbits = _vp8l_prefix_encode(v)
+            code, ln = g_table[256 + lcode]
+            w.put_code(code, ln)
+            if lbits:
+                w.put(lextra, lbits)
+            code, ln = d_table[d_code]
+            if ln:
+                w.put_code(code, ln)
+            if d_bits:
+                w.put(d_extra, d_bits)
+    payload = b"\x2f" + w.bytes()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l

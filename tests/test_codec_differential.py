@@ -51,13 +51,17 @@ def test_decode_contract_shape_dtype_layout(payload, h, w):
     assert small.shape == (8, 8, 3) and small.dtype == np.uint8
 
 
-def test_stub_decode_is_deterministic():
-    # WebP is the remaining stubbed format (VP8 entropy coding); PNG/
-    # JPEG/GIF/TIFF/BMP all have REAL decoders (rika_ray.stages.codecs)
-    payload = docgen.build_webp(20, 10)
-    a, _ = mm.decode_image(payload)
-    b, _ = mm.decode_image(payload)
-    assert np.array_equal(a, b)
+def test_no_image_stub_remains():
+    # every raster format has a REAL decoder now; a pixel-less VP8X-only
+    # WebP is refused typed, and a lossless WebP decodes bit-exact
+    from rika_ray.stages.codecs import CodecError
+
+    with pytest.raises(CodecError):
+        mm.decode_image(docgen.build_webp(20, 10))
+    src = docgen.gradient_pixels(10, 20, seed=2)
+    pixels, media = mm.decode_image(docgen.build_webp_lossless(src))
+    assert media == "image/webp"
+    assert np.array_equal(pixels, src)
 
 
 def test_real_codec_parity_with_stub():

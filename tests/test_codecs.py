@@ -539,3 +539,49 @@ def test_ico_stub_and_errors():
         ico_decode(build_ico(32, 32))  # legacy header-stub fixture
     with pytest.raises(CodecError):
         ico_decode(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 20)  # .cur
+
+
+# --------------------------------------------------------------- VP8L ----
+
+
+def test_vp8l_roundtrip_shapes():
+    from rika_ray.stages.codecs import vp8l_decode, vp8l_encode
+
+    for h, w, seed in ((8, 8, 0), (17, 9, 3), (1, 1, 2), (7, 301, 9)):
+        px = _grad(h, w, seed=seed)
+        assert (vp8l_decode(vp8l_encode(px)) == px).all()
+
+
+def test_vp8l_lz77_runs_and_constant():
+    from rika_ray.stages.codecs import vp8l_decode, vp8l_encode
+
+    px = np.zeros((20, 300, 3), np.uint8)
+    px[:, 150:, :] = 200
+    blob = vp8l_encode(px)
+    assert len(blob) < px.nbytes // 50  # runs actually compress
+    assert (vp8l_decode(blob) == px).all()
+    const = np.full((50, 40, 3), 77, np.uint8)
+    assert (vp8l_decode(vp8l_encode(const)) == const).all()
+
+
+def test_vp8l_random_images_roundtrip():
+    from rika_ray.stages.codecs import vp8l_decode, vp8l_encode
+
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        px = rng.randint(
+            0, 256, (rng.randint(1, 40), rng.randint(1, 40), 3), np.uint8
+        )
+        assert (vp8l_decode(vp8l_encode(px)) == px).all()
+
+
+def test_vp8l_refusals():
+    from rika_ray.docgen import build_webp
+    from rika_ray.stages.codecs import CodecError, vp8l_decode
+
+    with pytest.raises(CodecError):
+        vp8l_decode(build_webp(64, 48))  # VP8X-only, no VP8L chunk
+    with pytest.raises(CodecError):
+        vp8l_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # lossy VP8
+    with pytest.raises(CodecError):
+        vp8l_decode(b"\x00" * 10)

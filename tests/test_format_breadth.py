@@ -316,11 +316,10 @@ def test_new_image_types_decode_with_stub():
     from rika_ray.pipelines.multimodal import decode_image
 
     for payload, h, w in (
-        # tiff/bmp have REAL decoders now — feed them real pixels
         (docgen.build_tiff_rgb(docgen.gradient_pixels(10, 20)), 10, 20),
         (docgen.build_bmp_rgb(docgen.gradient_pixels(8, 16)), 8, 16),
-        # webp pixels are the remaining stub (dims from the VP8X header)
-        (docgen.build_webp(12, 6), 6, 12),
+        # webp decodes real pixels now too (lossless VP8L)
+        (docgen.build_webp_lossless(docgen.gradient_pixels(6, 12)), 6, 12),
     ):
         pixels, media = decode_image(payload)
         assert pixels.shape == (h, w, 3)

@@ -79,13 +79,16 @@ def test_image_pipeline_over_corpus(ray_session, corpus_dir):
     web_pages = ray.data.read_parquet(f"{corpus_dir}/web_pages.parquet")
     out = image_feature_pipeline(web_pages, target_size=(16, 16)).take_all()
     # corpus: jpeg (x2 urls), jpeg-exif, png, gif, tiff, bmp, webp, psd,
-    # ico, psd-pixels (x2), ico-pixels + the scaled png/bmp/gif/tiff/jpeg
-    # -grad oracle families (5 formats × 3 at n_per_family=3)
-    assert len(out) == 28
+    # ico, psd-pixels (x2), ico-pixels, webp-pixels + the scaled
+    # png/bmp/gif/tiff/jpeg -grad oracle families (5 × 3 at n=3)
+    assert len(out) == 29
     errs = [r for r in out if r["error"] is not None]
-    # the legacy header-only psd/ico stubs carry no pixel data: the REAL
-    # codecs now correctly refuse them instead of faking pixels
-    assert sorted(e["url"].rsplit("/", 2)[-2] for e in errs) == ["ico", "psd"]
+    # the header-only psd/ico stubs and the VP8X-only (lossy-path) webp
+    # fixture carry no decodable pixels: the REAL codecs refuse them
+    # typed instead of faking pixels
+    assert sorted(e["url"].rsplit("/", 2)[-2] for e in errs) == [
+        "ico", "psd", "webp",
+    ]
     for r in out:
         if r["error"] is None:
             assert len(r["embedding"]) == 11

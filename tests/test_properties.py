@@ -341,6 +341,7 @@ def test_codecs_fail_typed_on_arbitrary_bytes(data):
         codecs.tiff_decode,
         codecs.psd_decode,
         codecs.ico_decode,
+        codecs.vp8l_decode,
         codecs.wav_pcm_decode,
         codecs.flac_decode,
     ):
@@ -370,6 +371,7 @@ def test_codecs_fail_typed_on_corrupted_valid_prefix(data):
         (codecs.tiff_encode(px), codecs.tiff_decode),
         (codecs.psd_encode(px), codecs.psd_decode),
         (codecs.ico_encode(px), codecs.ico_decode),
+        (codecs.vp8l_encode(px), codecs.vp8l_decode),
         (codecs.bmp_encode(px), codecs.bmp_decode),
         (codecs.flac_encode(pcm, 8000), codecs.flac_decode),
     ):
