@@ -245,6 +245,58 @@ def _q_audio_features_decoded(sf_dir: str):
     )
 
 
+def _q_video_features_decoded(sf_dir: str):
+    """Sampled-frame count + mean per-frame channel means of the
+    REAL-codec video decodes (Motion-JPEG AVI: per-frame baseline JPEG)
+    vs generator ground truth — the video twin of the image/audio decode
+    oracles. Stub-decoded containers (MP4) are excluded by the AVI
+    magic filter."""
+    import pyarrow as pa
+
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import VideoFrameStage
+
+    corpus = _corpus_path(sf_dir)
+
+    def _is_avi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        head = pc.binary_slice(batch["html"], 0, 12).to_pylist()
+        keep = [
+            bool(p) and p[:4] == b"RIFF" and p[8:12] == b"AVI " for p in head
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    def _project(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        starts = offs[:-1]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_sampled": batch["n_frames_sampled"],
+                "mean_r": pa.array(flat[starts].astype("float64")),
+                "mean_g": pa.array(flat[starts + 1].astype("float64")),
+                "mean_b": pa.array(flat[starts + 2].astype("float64")),
+            }
+        )
+
+    return (
+        read_web_pages(f"{corpus}/web_pages.parquet")
+        .map_batches(_is_avi, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameStage,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+        .map_batches(_project, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
 def _q_warc_media_tally(sf_dir: str):
     """Common-Crawl-native ingest: corpus pages round-tripped through a
     .warc.gz file (per-record gzip members, ISO 28500 framing) → read_warc
@@ -298,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- real-codec decode vs generator ground truth (SQL-oracled) ---
         "image_features_decoded": _q_image_features_decoded,
         "audio_features_decoded": _q_audio_features_decoded,
+        "video_features_decoded": _q_video_features_decoded,
         # --- extraction pipeline (rows-only: full nested output) ---
         "extract_full": _q_extract_full,
         # --- extraction invariants vs checked-in goldens (SQL-oracled):
@@ -418,6 +471,13 @@ def oracle_sql() -> dict[str, str]:
             "audio_n_frames::INTEGER AS n_frames, audio_energy AS mean_energy "
             f"FROM read_parquet('{_GOLDEN_HASHES}') "
             "WHERE audio_n_frames IS NOT NULL ORDER BY url"
+        ),
+        "video_features_decoded": (
+            "SELECT url, vid_n_sampled::INTEGER AS n_sampled, "
+            "vid_mean_r AS mean_r, vid_mean_g AS mean_g, "
+            "vid_mean_b AS mean_b "
+            f"FROM read_parquet('{_GOLDEN_HASHES}') "
+            "WHERE vid_n_sampled IS NOT NULL ORDER BY url"
         ),
         # detector-regression pin: the engine's frozen lang-ID output over
         # the driver's documents table (tools/gen_golden_lang.py)

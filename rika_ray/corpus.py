@@ -148,7 +148,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 # bump when generated corpus content changes — cache directories under /tmp
 # are keyed by this so stale corpora are never reused
-CORPUS_VERSION = 31
+CORPUS_VERSION = 33
 
 
 def _sentence(rng: random.Random, pool: list[str], n_words: int) -> str:
@@ -187,6 +187,7 @@ class _Builder:
         url: str | None = None,
         img_means: tuple[float, float, float] | None = None,
         audio_feats: tuple[int, float] | None = None,
+        video_feats: tuple[int, float, float, float] | None = None,
     ) -> str:
         url = url or f"https://fixtures.test/{family}/{self._i:06d}"
         ts = BASE_TS + timedelta(seconds=self._i)
@@ -235,6 +236,10 @@ class _Builder:
                 # audio_features_decoded oracle
                 "audio_n_frames": None if audio_feats is None else audio_feats[0],
                 "audio_energy": None if audio_feats is None else audio_feats[1],
+                "vid_n_sampled": None if video_feats is None else video_feats[0],
+                "vid_mean_r": None if video_feats is None else video_feats[1],
+                "vid_mean_g": None if video_feats is None else video_feats[2],
+                "vid_mean_b": None if video_feats is None else video_feats[3],
             }
         )
         self._i += 1
@@ -279,6 +284,19 @@ def _audio_golden_feats(payload: bytes) -> tuple[int, float]:
     frames = frame_sample(decode_audio(payload))
     energy = float(np.square(frames).mean()) if frames.size else 0.0
     return (int(frames.shape[0]), energy)
+
+
+def _video_golden_feats(payload: bytes) -> tuple[int, float, float, float]:
+    """Ground-truth (n_sampled, mean_r, mean_g, mean_b) for a real-codec
+    video fixture, via the engine's own sample → decode → feature path
+    (same convention as the image/audio goldens)."""
+    import numpy as np
+
+    from rika_ray.pipelines.multimodal import decode_video_frames, image_features
+
+    frames = decode_video_frames(payload)
+    feats = np.stack([image_features(f) for f in frames]).mean(axis=0)
+    return (int(frames.shape[0]), float(feats[0]), float(feats[1]), float(feats[2]))
 
 
 def generate_corpus(
@@ -929,6 +947,36 @@ def generate_corpus(
         },
         img_means=_image_golden_means(webp_src),
     )
+    # real Motion-JPEG AVI (engine codec: per-frame baseline JPEG) —
+    # decoded for real by the video pipeline (decode_video_frames)
+    import numpy as np
+
+    for k, (avi_n, avi_fps, avi_h, avi_w) in enumerate(
+        [(14, 7, 24, 32), (9, 12, 16, 20)]
+    ):
+        avi_frames = np.stack(
+            [
+                docgen.gradient_pixels(avi_h, avi_w, seed=200 + 20 * k + i)
+                for i in range(avi_n)
+            ]
+        )
+        avi_blob = docgen.build_avi_mjpeg(avi_frames, fps=avi_fps)
+        b.add(
+            "avi",
+            avi_blob,
+            content="",
+            content_type="video/x-msvideo",
+            media_type="video/x-msvideo",
+            charset=None,
+            language=None,
+            extra_metadata={
+                "tiff:ImageWidth": str(avi_w),
+                "tiff:ImageLength": str(avi_h),
+                "xmpDM:videoFrameCount": str(avi_n),
+                "xmpDM:duration": f"{avi_n / avi_fps:.2f}",
+            },
+            video_feats=_video_golden_feats(avi_blob),
+        )
 
     # --- eml / mbox: RFC 5322 mail (Tika RFC822Parser / MboxParser
     # surface) — multipart/alternative collapses to the plain member,

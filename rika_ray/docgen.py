@@ -1620,6 +1620,14 @@ def build_webp_lossless(pixels: "object") -> bytes:
     return vp8l_encode(pixels)
 
 
+def build_avi_mjpeg(frames: "object", fps: int = 12) -> bytes:
+    """A REAL Motion-JPEG AVI — wrapper over the engine codec
+    (``rika_ray.stages.codecs.avi_mjpeg_encode``)."""
+    from rika_ray.stages.codecs import avi_mjpeg_encode
+
+    return avi_mjpeg_encode(frames, fps=fps)
+
+
 def build_eml(
     subject: str,
     from_addr: str,

@@ -397,32 +397,59 @@ def sample_frames(
     return frames[::every][:max_frames]
 
 
+def decode_video_frames(
+    payload: bytes, every: int = 6, max_frames: int = 8
+) -> np.ndarray:
+    """Sampled decoded frames ``(k, H, W, 3)``. REAL decode for
+    Motion-JPEG AVI — frame chunks are sampled BEFORE decoding so only
+    the kept frames pay the JPEG decode (``rika_ray.stages.codecs``);
+    other containers (MP4/H.264 etc.) fall back to the deterministic
+    stub, sampled identically."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from rika_ray.stages.codecs import avi_mjpeg_frames, jpeg_decode
+
+        blobs = avi_mjpeg_frames(payload)[::every][:max_frames]
+        if not blobs:
+            return np.empty((0, 0, 0, 3), np.uint8)
+        return np.stack([jpeg_decode(b) for b in blobs])
+    return sample_frames(decode_video_stub(payload), every, max_frames)
+
+
 class VideoFrameStage:
     """Actor-pool stage: binary video rows → sampled-frame count + a
     per-video feature vector (mean of per-frame image features — REAL
-    numpy math over the stubbed frames). Emits one row per input video:
-    the schema/batch-size/actor plumbing is the deliverable; swap
-    ``decode_video_stub`` for a real codec when available."""
+    numpy math; REAL frames for MJPEG AVI, stub frames elsewhere).
+    Corrupt rows become error rows (§2.8)."""
 
     def __init__(self, every: int = 6, max_frames: int = 8) -> None:
         self.every = every
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_sampled, feats = [], []
+        n_sampled, feats, errors = [], [], []
         for i in range(len(batch)):
             payload = batch["html"][i].as_py() or b""
-            frames = sample_frames(
-                decode_video_stub(payload), self.every, self.max_frames
-            )
-            n_sampled.append(frames.shape[0])
-            per_frame = np.stack([image_features(f) for f in frames])
-            feats.append(per_frame.mean(axis=0).tolist())
+            try:
+                frames = decode_video_frames(
+                    payload, self.every, self.max_frames
+                )
+                n_sampled.append(frames.shape[0])
+                if frames.shape[0]:
+                    per_frame = np.stack([image_features(f) for f in frames])
+                    feats.append(per_frame.mean(axis=0).tolist())
+                else:
+                    feats.append([0.0] * 11)
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — poison rows stay rows
+                n_sampled.append(None)
+                feats.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
         return pa.table(
             {
                 "url": batch["url"],
                 "n_frames_sampled": pa.array(n_sampled, pa.int32()),
                 "embedding": pa.array(feats, pa.list_(pa.float32())),
+                "error": pa.array(errors, pa.string()),
             }
         )
 
@@ -431,12 +458,28 @@ def video_frame_pipeline(
     web_pages: ray.data.Dataset,
     every: int = 6,
     max_frames: int = 8,
+    only_video: bool = True,
 ) -> ray.data.Dataset:
     """web_pages → per-video sampled-frame features. batch_size is tiny
     (8): decoded frame stacks are the fattest rows in the engine
-    (~166 KB/video at stub size, multi-MB real)."""
+    (~166 KB/video at stub size, multi-MB real). ``only_video`` sniffs
+    video/* BEFORE the pool (like the image/audio pipelines); pass False
+    to force arbitrary payloads through the stub path."""
     from rika_ray.pool import pool_spec
 
+    if only_video:
+        def _only_video(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            prefixes = pc.binary_slice(batch["html"], 0, 2048).to_pylist()
+            suffixes = pc.binary_slice(batch["html"], -4096, None).to_pylist()
+            keep = [
+                bool(p) and sniff_bytes(p, s).startswith("video/")
+                for p, s in zip(prefixes, suffixes)
+            ]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        web_pages = web_pages.map_batches(_only_video, batch_format="pyarrow")
     return web_pages.map_batches(
         VideoFrameStage,
         batch_format="pyarrow",

@@ -140,6 +140,42 @@ def extract_flac(data: bytes) -> tuple[str, list, dict[str, str]]:
     return "", [], metadata
 
 
+def extract_avi(data: bytes) -> tuple[str, list, dict[str, str]]:
+    """(content="", spans=[], metadata) from the AVI main header (public
+    RIFF/AVI spec): dims, frame count and duration from the ``avih``
+    chunk inside LIST hdrl — the Tika-style empty-content media surface
+    (video frames are the multimodal pipeline's job)."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AudioParseError("not an AVI file")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
+            inner = pos + 12
+            if data[inner : inner + 4] != b"avih":
+                break
+            (alen,) = _struct.unpack("<I", data[inner + 4 : inner + 8])
+            body = data[inner + 8 : inner + 8 + alen]
+            if len(body) < 40:
+                raise AudioParseError("AVI: short avih")
+            us_pf, _mb, _pad, _flags, total, _init, _streams, _buf, w, h = (
+                _struct.unpack("<10I", body[:40])
+            )
+            metadata = {
+                "tiff:ImageWidth": str(w),
+                "tiff:ImageLength": str(h),
+                "xmpDM:videoFrameCount": str(total),
+            }
+            if us_pf:
+                metadata["xmpDM:duration"] = f"{total * us_pf / 1e6:.2f}"
+            return "", [], metadata
+        pos += 8 + clen + (clen & 1)
+    raise AudioParseError("AVI: no avih header")
+
+
 def extract_ogg(data: bytes) -> tuple[str, list, dict[str, str]]:
     """(content="", spans=[], metadata) from the Vorbis identification
     header in the first Ogg page (public Ogg/Vorbis specs): ``OggS`` page

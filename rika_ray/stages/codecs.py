@@ -2415,3 +2415,79 @@ def vp8l_encode(pixels: np.ndarray) -> bytes:
     if len(payload) & 1:
         vp8l += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
+# ---------------------------------------------------------------- AVI ----
+# Motion-JPEG AVI per the public RIFF/AVI spec: 'hdrl' header list
+# (avih + per-stream strl), 'movi' list of '00dc' frame chunks — each
+# chunk a complete baseline JPEG, decoded by ``jpeg_decode`` above. This
+# is the one video coding whose entire decode path the engine already
+# implements, so video rows get REAL frames.
+
+
+def avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """The '00dc'/'00db' frame payloads (JPEG streams) of an AVI, in
+    order — frames stay encoded so callers can sample BEFORE decoding."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise CodecError("not an AVI file")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_end = pos + 8 + clen
+            if body_end > end:
+                raise CodecError("AVI: truncated chunk")
+            if tag == b"LIST":
+                sub = data[pos + 8 : pos + 12]
+                if sub in (b"movi", b"rec "):
+                    walk(pos + 12, body_end)
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(data[pos + 8 : body_end])
+            pos = body_end + (clen & 1)
+
+    walk(12, len(data))
+    return frames
+
+
+def avi_mjpeg_encode(
+    frames: np.ndarray, fps: int = 12, quality: int = 85
+) -> bytes:
+    """A real Motion-JPEG AVI from (n, H, W, 3) uint8 frames — spec-
+    shaped avih/strh/strf headers plus a movi list of '00dc' JPEGs."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(sub: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", sub + payload)
+
+    jpegs = [jpeg_encode(fr[i], quality=quality) for i in range(n)]
+    max_bytes = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX-free
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0)
+        + struct.pack("<I", 0)            # sample size
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -104,6 +104,7 @@ class ExtractStage:
             sniff_mod.FLAC: self._do_flac,
             sniff_mod.OGG: self._do_ogg,
             sniff_mod.MP4: self._do_mp4,
+            sniff_mod.AVI: self._do_avi,
             sniff_mod.GZIP: self._do_gzip,
             sniff_mod.BZIP2: self._do_bzip2,
             sniff_mod.XZ: self._do_xz,
@@ -262,6 +263,12 @@ class ExtractStage:
         from rika_ray.stages.audio_meta import extract_mp4
 
         content, spans, meta = extract_mp4(data)
+        return content, media, None, spans, meta
+
+    def _do_avi(self, data: bytes, media: str):
+        from rika_ray.stages.audio_meta import extract_avi
+
+        content, spans, meta = extract_avi(data)
         return content, media, None, spans, meta
 
     def _do_eml(self, data: bytes, media: str, _depth: int = 0):

@@ -54,6 +54,7 @@ WAV = "audio/vnd.wave"
 FLAC = "audio/x-flac"
 OGG = "audio/ogg"
 MP4 = "video/mp4"
+AVI = "video/x-msvideo"
 ICO = "image/vnd.microsoft.icon"
 ICAL = "text/calendar"
 VCARD = "text/vcard"
@@ -313,6 +314,8 @@ def sniff_bytes(prefix: bytes, suffix: bytes | None = None) -> str:
         return WEBP
     if prefix[:4] == b"RIFF" and prefix[8:12] == b"WAVE":
         return WAV
+    if prefix[:4] == b"RIFF" and prefix[8:12] == b"AVI ":
+        return AVI
     if prefix.startswith(b"fLaC"):
         return FLAC
     if prefix.startswith(b"OggS"):

@@ -585,3 +585,33 @@ def test_vp8l_refusals():
         vp8l_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # lossy VP8
     with pytest.raises(CodecError):
         vp8l_decode(b"\x00" * 10)
+
+
+# ---------------------------------------------------------------- AVI ----
+
+
+def test_avi_mjpeg_roundtrip():
+    from rika_ray.docgen import gradient_pixels
+    from rika_ray.stages.codecs import (
+        avi_mjpeg_encode,
+        avi_mjpeg_frames,
+        jpeg_decode,
+    )
+
+    frames = np.stack([gradient_pixels(24, 32, seed=i) for i in range(6)])
+    blob = avi_mjpeg_encode(frames, fps=6, quality=95)
+    blobs = avi_mjpeg_frames(blob)
+    assert len(blobs) == 6
+    for i, jb in enumerate(blobs):
+        dec = jpeg_decode(jb)
+        assert dec.shape == (24, 32, 3)
+        assert np.abs(dec.astype(int) - frames[i].astype(int)).mean() < 6.0
+
+
+def test_avi_refusals():
+    from rika_ray.stages.codecs import CodecError, avi_mjpeg_frames
+
+    with pytest.raises(CodecError):
+        avi_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(CodecError):
+        avi_mjpeg_frames(b"not an avi at all")

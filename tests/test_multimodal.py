@@ -161,7 +161,9 @@ def test_video_stage_batch(ray_session):
             "html": pa.array([b"videobytes-a", b"videobytes-b"], pa.large_binary()),
         }
     )
-    out = video_frame_pipeline(ray.data.from_arrow(tbl)).take_all()
+    out = video_frame_pipeline(
+        ray.data.from_arrow(tbl), only_video=False
+    ).take_all()
     assert len(out) == 2
     for r in out:
         assert r["n_frames_sampled"] == 4
@@ -227,3 +229,41 @@ def test_audio_frame_pipeline_real_decodes(ray_session, tmp_path):
     assert out["f"]["mean_energy"] == out["w"]["mean_energy"]
     expected_frames = frame_sample(flac_decode(flac)[0]).shape[0]
     assert out["f"]["n_frames"] == expected_frames
+
+
+def test_video_pipeline_real_avi(ray_session, tmp_path):
+    """End-to-end video pipeline: an MJPEG AVI decodes REAL frames
+    (sampled before decode), a non-video row never enters the pool."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rika_ray import docgen
+    from rika_ray.pipelines.extraction import read_web_pages
+    from rika_ray.pipelines.multimodal import (
+        decode_video_frames,
+        image_features,
+        video_frame_pipeline,
+    )
+
+    frames = np.stack(
+        [docgen.gradient_pixels(24, 32, seed=300 + i) for i in range(12)]
+    )
+    avi = docgen.build_avi_mjpeg(frames, fps=6)
+    rows = {
+        "url": ["v", "t"],
+        "warc_ts": [None] * 2,
+        "html": pa.array([avi, b"plain text"], pa.large_binary()),
+        "text": [None] * 2,
+        "lang": [None] * 2,
+    }
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.table(rows), path)
+    out = video_frame_pipeline(read_web_pages(path)).take_all()
+    assert [r["url"] for r in out] == ["v"]
+    r = out[0]
+    assert r["error"] is None and r["n_frames_sampled"] == 2  # 12/6
+    ref = np.stack(
+        [image_features(f) for f in decode_video_frames(avi)]
+    ).mean(axis=0)
+    assert np.allclose(r["embedding"], ref, atol=1e-6)

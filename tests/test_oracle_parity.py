@@ -112,6 +112,7 @@ def test_query_runs_and_matches_oracle(ray_session, con, name):
         "warc_media_tally",
         "image_features_decoded",
         "audio_features_decoded",
+        "video_features_decoded",
         "lang_id",
     }
     if name in golden_tier:

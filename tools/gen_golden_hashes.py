@@ -15,6 +15,8 @@ pipeline run, so the oracles are independent of the code under test:
 - ``img_mean_r/g/b`` — decoded-pixel channel means at the 16×16 resize
 - ``audio_n_frames`` / ``audio_energy`` — decoded-PCM frame count + mean
   frame energy for the real-codec audio fixtures (WAV, FLAC)
+- ``vid_n_sampled`` / ``vid_mean_r/g/b`` — sampled-frame count + mean
+  per-frame channel means for the real-codec video fixtures (MJPEG AVI)
   target, computed from the generator's SOURCE pixel arrays (real-codec
   formats only; null elsewhere).
 
@@ -74,6 +76,10 @@ def golden_table(n_per_family: int = SF001_N_PER_FAMILY) -> pa.Table:
             "img_mean_b": expected["img_mean_b"],
             "audio_n_frames": expected["audio_n_frames"],
             "audio_energy": expected["audio_energy"],
+            "vid_n_sampled": expected["vid_n_sampled"],
+            "vid_mean_r": expected["vid_mean_r"],
+            "vid_mean_g": expected["vid_mean_g"],
+            "vid_mean_b": expected["vid_mean_b"],
         }
     )
     return t.sort_by([("url", "ascending"), ("content_md5", "ascending")])
