@@ -3,8 +3,10 @@
 Images/audio/video ride through the engine as opaque ``large_binary``
 columns with typed metadata. The Ray-side plumbing — schemas, actor-pool
 stage signatures, small batch sizes for fat binary rows, output layout —
-is real and tested; the *codec* step is stubbed deterministically because
-the image/audio libraries are not in this container:
+AND the codec step are real (``rika_ray.stages.codecs``, pure
+Python/numpy from the public format specs); only the entropy codings
+with no tractable pure-Python decode (MP3/Vorbis audio, H.264-family
+video) keep a clearly-marked deterministic stub:
 
 - header parsing (dimensions, format) is REAL (rika_ray.stages.image_meta);
 - pixel/PCM decode is REAL for every raster format — PNG (stdlib zlib +
@@ -15,8 +17,10 @@ the image/audio libraries are not in this container:
   (Rice + fixed/LPC predictors) (``rika_ray.stages.codecs``); only
   MP3/Vorbis audio uses a clearly-marked deterministic fake (or PIL /
   a real audio lib when importable);
+- video frame decode is REAL for Motion-JPEG AVI (frames sampled
+  BEFORE decoding); other containers (MP4/H.264) use the stub;
 - resize / feature-extract / frame-sample are REAL numpy math over the
-  decoded arrays (they work identically on fake or real pixels).
+  decoded arrays (they work identically on stub or real frames).
 
 Scale notes: decode stages are actor pools with ``batch_size`` sized for
 multi-MB payloads; decoded pixels are emitted as fixed-shape
